@@ -1,0 +1,171 @@
+"""M0 unit tests: graphics math, SH, losses/SSIM, LR schedule."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wheat3dgs_tpu.utils import graphics, sh, general
+from wheat3dgs_tpu.ops import losses
+
+
+class TestGraphics:
+    def test_qvec_rotmat_roundtrip(self):
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            if q[0] < 0:
+                q = -q
+            R = graphics.qvec_to_rotmat(q)
+            assert np.allclose(R @ R.T, np.eye(3), atol=1e-12)
+            assert np.isclose(np.linalg.det(R), 1.0)
+            q2 = graphics.rotmat_to_qvec(R)
+            assert np.allclose(q, q2, atol=1e-8)
+
+    def test_world_to_view_maps_points(self):
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        R_w2c = graphics.qvec_to_rotmat(q)
+        t = rng.normal(size=3)
+        # reference convention: R argument is the C2W rotation (R_w2c^T)
+        M = graphics.world_to_view(R_w2c.T, t)
+        p = rng.normal(size=3)
+        expected = R_w2c @ p + t
+        got = (M @ np.append(p, 1.0))[:3]
+        assert np.allclose(got, expected, atol=1e-10)
+
+    def test_projection_matrix_ndc(self):
+        fovx, fovy = 1.2, 0.9
+        P = graphics.projection_matrix(0.01, 100.0, fovx, fovy)
+        # point on the right frustum edge at depth z maps to ndc x=+1
+        z = 5.0
+        x_edge = z * math.tan(fovx / 2)
+        v = P @ np.array([x_edge, 0, z, 1.0])
+        assert np.isclose(v[0] / v[3], 1.0)
+        # depth near->0, far->1
+        vn = P @ np.array([0, 0, 0.01, 1.0])
+        vf = P @ np.array([0, 0, 100.0, 1.0])
+        assert np.isclose(vn[2] / vn[3], 0.0, atol=1e-9)
+        assert np.isclose(vf[2] / vf[3], 1.0)
+
+    def test_fov_focal_roundtrip(self):
+        assert np.isclose(graphics.focal2fov(graphics.fov2focal(0.8, 640), 640), 0.8)
+
+
+class TestSH:
+    @pytest.mark.parametrize("deg", [0, 1, 2, 3, 4])
+    def test_sum_of_squares_rotation_invariant(self, deg):
+        """For real SH with standard normalization, sum_m Y_lm(d)^2 =
+        (2l+1)/(4*pi) for any unit d — validates the hardcoded constants."""
+        rng = np.random.default_rng(2)
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        K = (deg + 1) ** 2
+        # evaluate each basis function via one-hot coefficients
+        eye = jnp.eye(K)[:, :, None]  # (K, K, 1)
+        vals = jax.vmap(lambda c: sh.eval_sh(deg, c, jnp.asarray(d)))(eye)
+        vals = np.asarray(vals).squeeze(-1)
+        start = deg * deg
+        band = vals[start:K]
+        expected = (2 * deg + 1) / (4 * np.pi)
+        assert np.isclose((band ** 2).sum(), expected, rtol=1e-5)
+
+    def test_dc_roundtrip(self):
+        rgb = jnp.array([0.2, 0.5, 0.9])
+        assert np.allclose(sh.sh_to_rgb_dc(sh.rgb_to_sh(rgb)), rgb, atol=1e-7)
+
+    def test_deg0_matches_dc(self):
+        c = jnp.ones((1, 3)) * 2.0
+        out = sh.eval_sh(0, c, jnp.array([0.0, 0.0, 1.0]))
+        assert np.allclose(out, 2.0 * sh.C0)
+
+
+class TestLosses:
+    def test_psnr_known_value(self):
+        a = jnp.zeros((3, 8, 8))
+        b = jnp.ones((3, 8, 8)) * 0.1
+        assert np.isclose(float(losses.psnr(a, b)), 20.0, atol=1e-4)
+
+    def test_ssim_identity(self):
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(size=(3, 32, 32)).astype(np.float32))
+        assert float(losses.ssim(img, img)) > 0.9999
+
+    def test_ssim_matches_torch_reference(self):
+        """Independent torch implementation of the reference SSIM formula."""
+        import torch
+        import torch.nn.functional as F
+
+        def torch_ssim(x, y, window_size=11):
+            sigma = 1.5
+            xs = torch.arange(window_size, dtype=torch.float64) - window_size // 2
+            g = torch.exp(-(xs ** 2) / (2 * sigma ** 2))
+            g = (g / g.sum()).float()
+            w2d = g[:, None] @ g[None, :]
+            c = x.shape[0]
+            w = w2d.expand(c, 1, window_size, window_size)
+            x, y = x[None], y[None]
+            pad = window_size // 2
+            mu1 = F.conv2d(x, w, padding=pad, groups=c)
+            mu2 = F.conv2d(y, w, padding=pad, groups=c)
+            s11 = F.conv2d(x * x, w, padding=pad, groups=c) - mu1 ** 2
+            s22 = F.conv2d(y * y, w, padding=pad, groups=c) - mu2 ** 2
+            s12 = F.conv2d(x * y, w, padding=pad, groups=c) - mu1 * mu2
+            C1, C2 = 0.01 ** 2, 0.03 ** 2
+            m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+                (mu1 ** 2 + mu2 ** 2 + C1) * (s11 + s22 + C2))
+            return m.mean().item()
+
+        rng = np.random.default_rng(4)
+        a = rng.uniform(size=(3, 24, 20)).astype(np.float32)
+        b = np.clip(a + 0.1 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+        got = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+        want = torch_ssim(torch.from_numpy(a), torch.from_numpy(b))
+        assert np.isclose(got, want, atol=2e-5)
+
+    def test_ssim_grad_finite(self):
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.uniform(size=(3, 16, 16)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(size=(3, 16, 16)).astype(np.float32))
+        g = jax.grad(lambda x: losses.ssim(x, b))(a)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestGeneral:
+    def test_expon_lr_endpoints(self):
+        lr0 = float(general.expon_lr(0, 1e-2, 1e-4, max_steps=1000))
+        lrT = float(general.expon_lr(1000, 1e-2, 1e-4, max_steps=1000))
+        lr_mid = float(general.expon_lr(500, 1e-2, 1e-4, max_steps=1000))
+        assert np.isclose(lr0, 1e-2, rtol=1e-6)
+        assert np.isclose(lrT, 1e-4, rtol=1e-5)
+        assert np.isclose(lr_mid, 1e-3, rtol=1e-5)  # log-linear midpoint
+
+    def test_expon_lr_delay(self):
+        lr0 = float(general.expon_lr(0, 1e-2, 1e-4, lr_delay_steps=100,
+                                     lr_delay_mult=0.01, max_steps=1000))
+        assert np.isclose(lr0, 1e-4, rtol=1e-5)  # init * delay_mult
+
+    def test_quat_to_rotmat_batched(self):
+        rng = np.random.default_rng(6)
+        q = rng.normal(size=(5, 4)).astype(np.float32)
+        R = np.asarray(general.quat_to_rotmat(jnp.asarray(q)))
+        for i in range(5):
+            expected = graphics.qvec_to_rotmat(q[i] / np.linalg.norm(q[i]))
+            assert np.allclose(R[i], expected, atol=1e-5)
+
+    def test_build_covariance_psd(self):
+        rng = np.random.default_rng(7)
+        s = jnp.asarray(rng.uniform(0.1, 2.0, size=(4, 3)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+        cov = np.asarray(general.build_covariance(s, q))
+        for i in range(4):
+            assert np.allclose(cov[i], cov[i].T, atol=1e-6)
+            eig = np.linalg.eigvalsh(cov[i])
+            assert np.all(eig > 0)
+            # eigenvalues are the squared scales
+            assert np.allclose(np.sort(eig), np.sort(np.asarray(s[i]) ** 2),
+                               rtol=1e-4)

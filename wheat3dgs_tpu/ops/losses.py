@@ -1,0 +1,99 @@
+"""Training losses & image metrics (reference: utils/loss_utils.py,
+utils/image_utils.py).
+
+SSIM uses the same 11x11 Gaussian window (sigma 1.5), SAME padding, and
+constants C1=0.01^2, C2=0.03^2 as the reference (utils/loss_utils.py:23-63),
+implemented as a separable depthwise convolution so XLA can fuse it.
+Images are (..., C, H, W) in [0, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred, gt):
+    return jnp.abs(pred - gt).mean()
+
+
+def l2_loss(pred, gt):
+    return ((pred - gt) ** 2).mean()
+
+
+def mse(pred, gt):
+    return ((pred - gt) ** 2).reshape(pred.shape[0] if pred.ndim == 4 else 1, -1).mean(-1)
+
+
+def psnr(pred, gt):
+    """PSNR per image; inputs (C, H, W) or (B, C, H, W) in [0,1]
+    (reference: utils/image_utils.py:17-19)."""
+    batched = pred.ndim == 4
+    m = ((pred - gt) ** 2).reshape(pred.shape[0] if batched else 1, -1).mean(-1)
+    out = 20.0 * jnp.log10(1.0 / jnp.sqrt(m))
+    return out if batched else out[0]
+
+
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs**2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise 2D blur on (B, C, H, W) with SAME padding."""
+    b, c, h, w = img.shape
+    pad = window.shape[0] // 2
+    kh = window.reshape(1, 1, -1, 1)
+    kw = window.reshape(1, 1, 1, -1)
+    kh = jnp.broadcast_to(kh, (c, 1, window.shape[0], 1))
+    kw = jnp.broadcast_to(kw, (c, 1, 1, window.shape[0]))
+    dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(
+        img, kh, window_strides=(1, 1), padding=[(pad, pad), (0, 0)],
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    out = jax.lax.conv_general_dilated(
+        out, kw, window_strides=(1, 1), padding=[(0, 0), (pad, pad)],
+        dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "size_average"))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         size_average: bool = True) -> jnp.ndarray:
+    """Structural similarity, matching the reference's windowed conv SSIM.
+
+    Accepts (C, H, W) or (B, C, H, W). Note: the reference's 2D window is the
+    outer product of two 1D Gaussians, so the separable form is exact.
+    """
+    squeeze = img1.ndim == 3
+    if squeeze:
+        img1, img2 = img1[None], img2[None]
+    window = jnp.asarray(_gaussian_window(window_size, 1.5))
+
+    mu1 = _depthwise_blur(img1, window)
+    mu2 = _depthwise_blur(img2, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, window) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, window) - mu1_mu2
+
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    if size_average:
+        return ssim_map.mean()
+    out = ssim_map.mean(axis=(1, 2, 3))
+    return out[0] if squeeze else out
+
+
+def photometric_loss(pred, gt, lambda_dssim: float = 0.2):
+    """(1-λ)·L1 + λ·(1-SSIM) — the 3DGS training loss
+    (reference: train_vanilla_3dgs.py:74-76)."""
+    return (1.0 - lambda_dssim) * l1_loss(pred, gt) + lambda_dssim * (
+        1.0 - ssim(pred, gt))
