@@ -6,7 +6,6 @@ driver's dryrun does the same via __graft_entry__.dryrun_multichip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +13,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The sandbox presets JAX_PLATFORMS=axon (remote TPU tunnel) and its
+# sitecustomize imports jax at interpreter start, so the env var cannot be
+# overridden — flip the platform via jax.config instead. Set
+# WHEAT3DGS_TEST_TPU=1 to opt in to running tests on the real TPU.
+if not os.environ.get("WHEAT3DGS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: raster compiles dominate test wall time otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/wheat3dgs_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,114 @@
+"""Tile binning: which Gaussians touch which image tile, in depth order.
+
+TPU-native replacement for the CUDA duplicate-key radix sort
+(reference rasterizer internals; see SURVEY.md C21). The GPU builds
+(tile | depth) 64-bit keys and radix-sorts them; here we:
+
+1. expand each visible Gaussian into its covered tile rectangle
+   (row-major, a static cap of `max_tiles_per_gauss` slots each),
+2. two-key `jax.lax.sort` on (tile_id, depth_rank) — XLA's sort maps well
+   to TPU and the shapes are static,
+3. segment the sorted stream per tile and scatter positions into a dense
+   (num_tiles, max_per_tile) index table for the per-tile composite kernel.
+
+Everything is integer bookkeeping — no gradients flow through this module;
+gradients flow through the *gathers* that consume the index table.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import Splats2D
+
+TILE = 16  # pixels per tile side (matches the reference's 16x16 CUDA tiles)
+
+
+def num_tiles(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
+    return (-(-width // tile), -(-height // tile))
+
+
+class TileBins(NamedTuple):
+    tile_lists: jnp.ndarray   # (T, K) int32 gaussian index, -1 padded
+    tile_counts: jnp.ndarray  # (T,) int32 entries per tile (uncapped count)
+    depth_order: jnp.ndarray  # (N,) int32 argsort of depth
+
+
+def tile_rect(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
+              tiles_y: int, tile: int = TILE):
+    """Covered tile rectangle per splat (reference CUDA getRect semantics)."""
+    rmin_x = jnp.clip(((xy[:, 0] - radius) / tile).astype(jnp.int32), 0, tiles_x)
+    rmin_y = jnp.clip(((xy[:, 1] - radius) / tile).astype(jnp.int32), 0, tiles_y)
+    rmax_x = jnp.clip(((xy[:, 0] + radius + tile - 1) / tile).astype(jnp.int32),
+                      0, tiles_x)
+    rmax_y = jnp.clip(((xy[:, 1] + radius + tile - 1) / tile).astype(jnp.int32),
+                      0, tiles_y)
+    return rmin_x, rmin_y, rmax_x, rmax_y
+
+
+def bin_splats(splats: Splats2D, width: int, height: int, tile: int = TILE,
+               max_tiles_per_gauss: int = 16,
+               max_per_tile: int = 512) -> TileBins:
+    """Build per-tile depth-ordered Gaussian index lists.
+
+    Truncations (both static caps) drop the *farthest* entries:
+    - a Gaussian covering more than ``max_tiles_per_gauss`` tiles loses its
+      trailing (row-major) tiles — rare after the radius/opacity culls;
+    - a tile with more than ``max_per_tile`` entries keeps the nearest ones,
+      which is the principled cap since closer splats occlude farther ones.
+    """
+    n = splats.xy.shape[0]
+    tiles_x, tiles_y = num_tiles(width, height, tile)
+    t_total = tiles_x * tiles_y
+    mtpg = max_tiles_per_gauss
+
+    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
+        splats.xy, splats.radius.astype(splats.xy.dtype), tiles_x, tiles_y, tile)
+    span_x = rmax_x - rmin_x
+    span_y = rmax_y - rmin_y
+    count = jnp.where(splats.radius > 0, span_x * span_y, 0)   # (N,)
+
+    # Depth rank as secondary sort key (stable ordering identical to CUDA's
+    # depth-ascending within a tile).
+    depth_order = jnp.argsort(splats.depth, stable=True)       # (N,)
+    rank = jnp.zeros((n,), jnp.int32).at[depth_order].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    # Expand: slot j of splat i covers tile (rmin + (j%span_x, j//span_x)).
+    slots = jnp.arange(mtpg, dtype=jnp.int32)                  # (M,)
+    safe_span_x = jnp.maximum(span_x, 1)
+    off_x = slots[None, :] % safe_span_x[:, None]              # (N, M)
+    off_y = slots[None, :] // safe_span_x[:, None]
+    tile_id = ((rmin_y[:, None] + off_y) * tiles_x
+               + (rmin_x[:, None] + off_x)).astype(jnp.int32)
+    valid = slots[None, :] < jnp.minimum(count, mtpg)[:, None]
+    tile_id = jnp.where(valid, tile_id, t_total)               # sentinel last
+
+    gauss_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, mtpg))
+    ranks = jnp.broadcast_to(rank[:, None], (n, mtpg))
+
+    sorted_tile, _, sorted_gauss = jax.lax.sort(
+        (tile_id.ravel(), ranks.ravel(), gauss_idx.ravel()),
+        num_keys=2, is_stable=False)
+
+    # Per-tile segments in the sorted stream.
+    tids = jnp.arange(t_total, dtype=sorted_tile.dtype)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left")
+    ends = jnp.searchsorted(sorted_tile, tids, side="right")
+    tile_counts = (ends - starts).astype(jnp.int32)
+
+    # Dense (T, K) table: entry e lands at (tile, e - starts[tile]).
+    e = n * mtpg
+    pos = jnp.arange(e, dtype=jnp.int32) - starts[
+        jnp.minimum(sorted_tile, t_total - 1)].astype(jnp.int32)
+    flat_idx = sorted_tile.astype(jnp.int32) * max_per_tile + pos
+    ok = (sorted_tile < t_total) & (pos < max_per_tile)
+    flat_idx = jnp.where(ok, flat_idx, t_total * max_per_tile)  # dropped
+    tile_lists = jnp.full((t_total * max_per_tile,), -1, jnp.int32)
+    tile_lists = tile_lists.at[flat_idx].set(sorted_gauss, mode="drop")
+    return TileBins(tile_lists.reshape(t_total, max_per_tile),
+                    tile_counts, depth_order)

@@ -1,0 +1,145 @@
+"""EWA projection of 3D Gaussians to screen space (stage 1 of the rasterizer).
+
+TPU-native replacement for the geometry half of the CUDA rasterizers
+(reference: submodules/diff-gaussian-rasterization forward `preprocess`,
+called from gaussian_renderer/__init__.py:84-99). Pure jnp, fully batched
+over Gaussians, vmap-able over cameras; everything is differentiable and
+static-shaped so XLA fuses it into a handful of elementwise kernels.
+
+Conventions (matching the reference CUDA kernels):
+- near-plane cull at view z <= 0.2;
+- 2D covariance = J W Sigma W^T J^T with the t.x/t.z clamp at 1.3*tanfov,
+  then +0.3 on the diagonal (screen-space dilation);
+- radius = ceil(3 * sqrt(max eigenvalue)) in pixels;
+- pixel coords via ndc2Pix: ((ndc + 1) * size - 1) / 2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import sh as sh_utils
+from ..utils.general import build_covariance
+
+
+class Splats2D(NamedTuple):
+    """Screen-space Gaussians for one view. All arrays have leading dim N."""
+
+    xy: jnp.ndarray        # (N, 2) pixel-space center
+    depth: jnp.ndarray     # (N,) view-space z
+    conic: jnp.ndarray     # (N, 3) inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray    # (N,) int32 pixel radius, 0 = culled
+    color: jnp.ndarray     # (N, C) RGB (or label channels)
+    opacity: jnp.ndarray   # (N,) activated opacity in [0, 1]
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    w2c: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    cam_center: jnp.ndarray,
+    tanfovx: jnp.ndarray,
+    tanfovy: jnp.ndarray,
+    width: int,
+    height: int,
+    sh: Optional[jnp.ndarray] = None,
+    sh_degree: int = 3,
+    colors: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    ndc_offset: Optional[jnp.ndarray] = None,
+) -> Splats2D:
+    """Project N Gaussians into one camera.
+
+    Args:
+      means3d: (N, 3). scales: (N, 3) activated. quats: (N, 4) unnormalized.
+      opacities: (N,) activated.
+      w2c/full_proj: (4, 4) acting on column vectors.
+      sh: (N, K, 3) SH coefficients (used when ``colors`` is None).
+      colors: (N, C) precomputed colors (label rendering path,
+        reference render_helper.py:40-52).
+      ndc_offset: optional (N, 2) zeros; gradients w.r.t. it reproduce the
+        CUDA viewspace-point gradient convention (dL/d_ndc includes the
+        0.5*W pixel scale) used for densification stats
+        (reference: train_vanilla_3dgs.py:100-104).
+
+    Returns:
+      Splats2D with radius == 0 where culled.
+    """
+    means3d = jnp.asarray(means3d)
+    opacities = jnp.asarray(opacities)
+    n = means3d.shape[0]
+    ones = jnp.ones((n, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=1)            # (N, 4)
+
+    t = hom @ w2c.T                                           # view space
+    depth = t[:, 2]
+    in_front = depth > 0.2
+
+    p_hom = hom @ full_proj.T                                 # clip space
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    ndc = p_hom[:, :2] * p_w[:, None]                         # (N, 2)
+    if ndc_offset is not None:
+        ndc = ndc + ndc_offset
+    xy = jnp.stack(
+        [((ndc[:, 0] + 1.0) * width - 1.0) * 0.5,
+         ((ndc[:, 1] + 1.0) * height - 1.0) * 0.5], axis=1)
+
+    focal_x = width / (2.0 * tanfovx)
+    focal_y = height / (2.0 * tanfovy)
+
+    # EWA: J W Sigma W^T J^T with frustum-clamped t.
+    lim_x = 1.3 * tanfovx
+    lim_y = 1.3 * tanfovy
+    tz = depth
+    tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
+    ty = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
+
+    cov3d = build_covariance(scales, quats, scale_modifier)   # (N, 3, 3)
+    W = w2c[:3, :3]                                           # (3, 3)
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    # J rows (only the two used): [fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], axis=-1),
+         jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], axis=-1)],
+        axis=-2)                                              # (N, 2, 3)
+    T = J @ W                                                 # (N, 2, 3)
+    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)               # (N, 2, 2)
+    a = cov2d[:, 0, 0] + 0.3
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + 0.3
+
+    det = a * c - b * b
+    det_ok = det > 0.0
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=1)
+
+    mid = 0.5 * (a + c)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    # Visibility: in front, invertible cov, and touching the image.
+    visible = in_front & det_ok
+    visible &= (xy[:, 0] + radius_f > 0) & (xy[:, 0] - radius_f < width)
+    visible &= (xy[:, 1] + radius_f > 0) & (xy[:, 1] - radius_f < height)
+    visible &= opacities > (1.0 / 255.0)
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    if colors is None:
+        if sh is None:
+            raise ValueError("either sh or colors must be given")
+        dirs = means3d - cam_center[None, :]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9)
+        color = sh_utils.sh_to_rgb(sh_degree, sh, dirs)
+    else:
+        color = jnp.asarray(colors)
+
+    return Splats2D(xy=xy, depth=depth, conic=conic, radius=radius,
+                    color=color, opacity=opacities)
