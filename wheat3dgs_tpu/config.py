@@ -17,7 +17,7 @@ from argparse import ArgumentParser, Namespace
 from typing import Optional
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ModelParams:
     sh_degree: int = 3
     source_path: str = ""
@@ -32,7 +32,7 @@ class ModelParams:
                    "resolution": "-r", "white_background": "-w"}
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class PipelineParams:
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
@@ -41,7 +41,7 @@ class PipelineParams:
     _shorthands = {}
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class OptimizationParams:
     iterations: int = 15_000
     position_lr_init: float = 0.00016
@@ -90,7 +90,8 @@ def extract(params_cls, args: Namespace):
             kwargs[f.name] = getattr(args, f.name)
     obj = params_cls(**kwargs)
     if isinstance(obj, ModelParams) and obj.source_path:
-        obj.source_path = os.path.abspath(obj.source_path)
+        obj = dataclasses.replace(obj,
+                                  source_path=os.path.abspath(obj.source_path))
     return obj
 
 

@@ -1,0 +1,1 @@
+from .pipeline import RasterConfig, RenderOut, render  # noqa: F401

@@ -1,0 +1,81 @@
+"""Render API: GaussianState + camera -> images (reference:
+gaussian_renderer/__init__.py `render`, :22-106).
+
+Functional and jit-friendly: all reference outputs are returned
+(color/depth/alpha/radii and the viewspace gradient hook via `ndc_offset`);
+`override_color` reproduces the label-as-color path used by the seg tooling
+(reference render_helper.py:40-64).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussians import GaussianState
+from ..ops import raster as raster_ops
+from ..ops.projection import Splats2D, project_gaussians
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer knobs (shape-affecting => static under jit)."""
+
+    tile: int = 16
+    max_tiles_per_gauss: int = 16
+    max_per_tile: int = 512
+    tile_batch: int = 64
+
+    def scaled(self, n: int) -> "RasterConfig":
+        return self
+
+
+class RenderOut(NamedTuple):
+    color: jax.Array    # (3, H, W)
+    depth: jax.Array    # (H, W)
+    alpha: jax.Array    # (H, W)
+    radii: jax.Array    # (N,) int32, 0 = invisible
+
+
+def render(
+    state: GaussianState,
+    w2c: jax.Array,
+    full_proj: jax.Array,
+    cam_center: jax.Array,
+    tanfovx,
+    tanfovy,
+    width: int,
+    height: int,
+    sh_degree: int,
+    bg: Optional[jax.Array] = None,
+    scale_modifier: float = 1.0,
+    override_color: Optional[jax.Array] = None,
+    used_mask: Optional[jax.Array] = None,
+    ndc_offset: Optional[jax.Array] = None,
+    config: RasterConfig = RasterConfig(),
+) -> RenderOut:
+    """Render one view.
+
+    used_mask: optional (N,) bool — render only this subset (the reference
+    slices tensors, gaussian_renderer/__init__.py:154-156; masking opacity
+    to 0 is equivalent and keeps shapes static).
+    """
+    opacity = state.opacity()
+    if used_mask is not None:
+        opacity = jnp.where(used_mask, opacity, 0.0)
+    splats = project_gaussians(
+        state.params.means, state.scales(), state.params.quats, opacity,
+        w2c, full_proj, cam_center, tanfovx, tanfovy, width, height,
+        sh=None if override_color is not None else state.sh(),
+        sh_degree=sh_degree,
+        colors=override_color, scale_modifier=scale_modifier,
+        ndc_offset=ndc_offset)
+    out = raster_ops.rasterize(
+        splats, width, height, bg, tile=config.tile,
+        max_tiles_per_gauss=config.max_tiles_per_gauss,
+        max_per_tile=config.max_per_tile, tile_batch=config.tile_batch)
+    return RenderOut(color=out.color, depth=out.depth, alpha=out.alpha,
+                     radii=out.radii)

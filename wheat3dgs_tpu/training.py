@@ -1,0 +1,153 @@
+"""Jitted 3DGS training step + host-side densification schedule.
+
+Reference: the hot loop of train_vanilla_3dgs.py:55-121. TPU redesign:
+
+- one fused jit step: render -> (1-λ)L1 + λ(1-SSIM) -> grads -> Adam ->
+  densification-stat accumulation (the reference does these as separate
+  host-driven torch calls);
+- the viewspace gradient is recovered exactly as the CUDA rasterizer's
+  `means2D` grad via a zero `ndc_offset` input (same 0.5*W NDC->pixel scale);
+- densify/prune/opacity-reset run as their own jitted calls on the reference
+  schedule (every 100 iters in [500, 11000], reset at 3000 —
+  arguments/__init__.py:84-88);
+- buffers are donated so the Gaussian state updates in place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import OptimizationParams
+from .models import gaussians as G
+from .models.optim import adam_step
+from .ops.losses import l1_loss, ssim
+from .render.pipeline import RasterConfig, render
+from .utils.general import expon_lr
+
+
+def lr_tree(params: G.GaussianParams, it, opt: OptimizationParams,
+            extent: float):
+    """Per-leaf learning rates (reference training_setup + per-step xyz
+    schedule, scene/gaussian_model.py:167-194)."""
+    xyz_lr = expon_lr(
+        it, opt.position_lr_init * extent, opt.position_lr_final * extent,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps)
+    return G.GaussianParams(
+        means=xyz_lr, quats=jnp.float32(opt.rotation_lr),
+        log_scales=jnp.float32(opt.scaling_lr),
+        sh_dc=jnp.float32(opt.feature_lr),
+        sh_rest=jnp.float32(opt.feature_lr / 20.0),
+        opacity_logit=jnp.float32(opt.opacity_lr))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "opt", "config"),
+    donate_argnames=("state",))
+def train_step(
+    state: G.GaussianState,
+    w2c: jax.Array,
+    full_proj: jax.Array,
+    cam_center: jax.Array,
+    tanfovx: jax.Array,
+    tanfovy: jax.Array,
+    gt_image: jax.Array,
+    bg: jax.Array,
+    it: jax.Array,
+    *,
+    sh_degree: int,
+    width: int,
+    height: int,
+    opt: OptimizationParams,
+    config: RasterConfig = RasterConfig(),
+):
+    """One optimization step on one camera. Returns (state, metrics)."""
+    cap = state.capacity
+    ndc_zero = jnp.zeros((cap, 2), jnp.float32)
+
+    def loss_fn(params, ndc_offset):
+        s = dataclasses.replace(state, params=params)
+        out = render(s, w2c, full_proj, cam_center, tanfovx, tanfovy,
+                     width, height, sh_degree, bg=bg,
+                     ndc_offset=ndc_offset, config=config)
+        ll1 = l1_loss(out.color, gt_image)
+        loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (
+            1.0 - ssim(out.color, gt_image))
+        return loss, (out, ll1)
+
+    (loss, (out, ll1)), (grads, ndc_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(state.params, ndc_zero)
+
+    lrs = lr_tree(state.params, it, opt, extent=1.0)  # extent folded by caller
+    new_params, new_adam = adam_step(state.adam, grads, state.params, lrs)
+    state = dataclasses.replace(state, params=new_params, adam=new_adam)
+    state = G.add_densification_stats(state, ndc_grad, out.radii)
+
+    metrics = {"loss": loss, "l1": ll1,
+               "psnr": 20.0 * -jnp.log10(
+                   jnp.sqrt(((out.color - gt_image) ** 2).mean())),
+               "n_alive": state.num_alive}
+    return state, metrics
+
+
+class Trainer:
+    """Host-side loop driver: camera sampling, SH warm-up, densify schedule,
+    capacity growth. Mirrors training() (train_vanilla_3dgs.py:32-121)."""
+
+    def __init__(self, state: G.GaussianState, opt: OptimizationParams,
+                 cameras_extent: float, sh_degree: int = 3,
+                 config: RasterConfig = RasterConfig(), seed: int = 0,
+                 white_background: bool = False):
+        self.state = state
+        self.opt = opt
+        self.extent = float(cameras_extent)
+        self.max_sh_degree = sh_degree
+        self.active_sh_degree = 0
+        self.config = config
+        self.rng = jax.random.PRNGKey(seed)
+        self.bg = jnp.ones(3, jnp.float32) if white_background else \
+            jnp.zeros(3, jnp.float32)
+        # Fold the spatial extent into the xyz LR by scaling the schedule's
+        # inputs at call time (train_step uses extent=1.0 internally).
+        self._opt_scaled = dataclasses.replace(
+            opt,
+            position_lr_init=opt.position_lr_init * self.extent,
+            position_lr_final=opt.position_lr_final * self.extent)
+
+    def step(self, it: int, cam, gt_image, width: int, height: int):
+        """cam: (w2c, full_proj, cam_center, tanfovx, tanfovy) arrays."""
+        if it % 1000 == 0 and self.active_sh_degree < self.max_sh_degree:
+            self.active_sh_degree += 1  # oneupSHdegree (train loop :61-62)
+        w2c, full_proj, cam_center, tfx, tfy = cam
+        self.state, metrics = train_step(
+            self.state, w2c, full_proj, cam_center, tfx, tfy, gt_image,
+            self.bg, jnp.int32(it), sh_degree=self.active_sh_degree,
+            width=width, height=height, opt=self._opt_scaled,
+            config=self.config)
+        self.maybe_densify(it)
+        return metrics
+
+    def maybe_densify(self, it: int) -> Optional[dict]:
+        opt = self.opt
+        info = None
+        if it < opt.densify_until_iter:
+            if (it > opt.densify_from_iter
+                    and it % opt.densification_interval == 0):
+                max_screen = 20.0 if it > opt.opacity_reset_interval else 0.0
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, info = G.densify_and_prune(
+                    self.state, sub, opt.densify_grad_threshold, 0.005,
+                    self.extent, max_screen, opt.percent_dense)
+                if int(info["n_dropped"]) > 0 or (
+                        int(info["n_alive"]) > 0.9 * self.state.capacity):
+                    self.state = G.grow_capacity(
+                        self.state, self.state.capacity * 2)
+            if it % opt.opacity_reset_interval == 0 and it > 0:
+                self.state = G.reset_opacity(self.state)
+        return info
