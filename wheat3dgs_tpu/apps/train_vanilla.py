@@ -1,0 +1,161 @@
+"""3DGS reconstruction training CLI (reference: train_vanilla_3dgs.py).
+
+Same flags, schedule, and output tree as the reference entry point; the
+compute is the jitted train step from wheat3dgs_tpu.training. wandb/TB are
+replaced by a JSONL metrics log in the model dir (the sandbox has no wandb;
+reference logging at train_vanilla_3dgs.py:34,117,145-180).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+import uuid
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..models.serialization import load_checkpoint, save_checkpoint
+from ..ops.losses import psnr
+from ..render.pipeline import RasterConfig, render
+from ..scene import Scene
+from ..training import Trainer
+from ..utils.general import seed_everything
+
+
+def prepare_output(model: cfg.ModelParams) -> cfg.ModelParams:
+    if not model.model_path:
+        model = __import__("dataclasses").replace(
+            model, model_path=os.path.join("./output", str(uuid.uuid4())[:10]))
+    os.makedirs(model.model_path, exist_ok=True)
+    cfg.save_cfg_args(model.model_path, model)
+    return model
+
+
+def evaluate_test(scene: Scene, trainer: Trainer, config: RasterConfig):
+    """PSNR over the test split (reference training_report,
+    train_vanilla_3dgs.py:145-180)."""
+    n = len(scene.data.test.metas)
+    if n == 0:
+        return None
+    vals = []
+    w, h = scene.data.test.cameras.width, scene.data.test.cameras.height
+    for i in range(n):
+        out = render(trainer.state, *scene.cam_arrays("test", i), w, h,
+                     sh_degree=trainer.active_sh_degree, bg=trainer.bg,
+                     config=config)
+        vals.append(float(psnr(jnp.clip(out.color, 0, 1),
+                               scene.gt_image("test", i))))
+    return float(np.mean(vals))
+
+
+def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
+             pipe: cfg.PipelineParams, test_iterations, save_iterations,
+             checkpoint_iterations, start_checkpoint: str | None,
+             quiet: bool = False, raster_config: RasterConfig | None = None,
+             log_every: int = 100):
+    model = prepare_output(model)
+    scene = Scene(model, sh_degree=model.sh_degree)
+    width, height = scene.image_size
+    config = raster_config or RasterConfig()
+
+    trainer = Trainer(scene.gaussians, opt, scene.cameras_extent,
+                      sh_degree=model.sh_degree, config=config,
+                      white_background=model.white_background)
+    first_iter = 0
+    if start_checkpoint:
+        trainer.state, first_iter = load_checkpoint(start_checkpoint,
+                                                    trainer.state)
+        trainer.active_sh_degree = min(first_iter // 1000,
+                                       trainer.max_sh_degree)
+
+    gt_images = jnp.asarray(scene.data.train.images)   # (B, 3, H, W) device
+    n_train = gt_images.shape[0]
+    log_path = os.path.join(model.model_path, "metrics.jsonl")
+    log_f = open(log_path, "a")
+
+    rnd = random.Random(0)
+    t0 = time.time()
+    window_t0, window_it = t0, first_iter
+    ema_loss = None
+    for it in range(first_iter + 1, opt.iterations + 1):
+        vi = rnd.randint(0, n_train - 1)  # sample w/ replacement (ref :65)
+        metrics = trainer.step(it, scene.cam_arrays("train", vi),
+                               gt_images[vi], width, height)
+        if it % log_every == 0 or it == opt.iterations:
+            loss = float(metrics["loss"])
+            ema_loss = loss if ema_loss is None else 0.6 * ema_loss + 0.4 * loss
+            now = time.time()
+            ips = (it - window_it) / max(now - window_t0, 1e-9)
+            window_t0, window_it = now, it
+            rec = {"iter": it, "loss": loss, "ema_loss": ema_loss,
+                   "psnr": float(metrics["psnr"]),
+                   "n_alive": int(metrics["n_alive"]), "iters_per_sec": ips}
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+            if not quiet:
+                print(f"[it {it:6d}] loss {loss:.4f} psnr {rec['psnr']:.2f} "
+                      f"alive {rec['n_alive']} {ips:.1f} it/s", flush=True)
+        if it in test_iterations:
+            tp = evaluate_test(scene, trainer, config)
+            if tp is not None:
+                if not quiet:
+                    print(f"[it {it}] TEST psnr {tp:.2f}", flush=True)
+                log_f.write(json.dumps({"iter": it, "test_psnr": tp}) + "\n")
+                log_f.flush()
+        if it in save_iterations:
+            scene.save(it, trainer.state)
+        if it in checkpoint_iterations:
+            save_checkpoint(trainer.state, it, os.path.join(
+                model.model_path, f"chkpnt{it}.npz"))
+    if opt.iterations not in save_iterations:
+        scene.save(opt.iterations, trainer.state)
+    log_f.close()
+    total = time.time() - t0
+    if not quiet:
+        print(f"Training complete in {total:.1f}s "
+              f"({(opt.iterations - first_iter) / max(total, 1e-9):.1f} it/s)")
+    return trainer, scene
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="wheat3dgs_tpu training")
+    cfg.add_params(parser, cfg.ModelParams)
+    cfg.add_params(parser, cfg.OptimizationParams)
+    cfg.add_params(parser, cfg.PipelineParams)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 15_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--max_per_tile", type=int, default=512)
+    parser.add_argument("--max_tiles_per_gauss", type=int, default=16)
+    args = parser.parse_args(argv)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+    seed_everything(0)
+
+    model = cfg.extract(cfg.ModelParams, args)
+    opt = cfg.extract(cfg.OptimizationParams, args)
+    pipe = cfg.extract(cfg.PipelineParams, args)
+    rconf = RasterConfig(max_per_tile=args.max_per_tile,
+                         max_tiles_per_gauss=args.max_tiles_per_gauss)
+    print(f"Optimizing {model.model_path or '(new output dir)'}")
+    training(model, opt, pipe, set(args.test_iterations),
+             set(args.save_iterations), set(args.checkpoint_iterations),
+             args.start_checkpoint, quiet=args.quiet, raster_config=rconf)
+    print("Training done.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

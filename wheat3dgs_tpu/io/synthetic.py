@@ -1,0 +1,216 @@
+"""Synthetic wheat-plot dataset generator (COLMAP layout).
+
+No real FIP data ships with either repo, so tests/benches/CLI verification
+synthesize a plot that matches the reference's on-disk contract
+(README.md:29-50): `sparse/0/{cameras,images,points3D}.bin`, `images/
+plot_<id>_<cam:02d>.png` (cam index > 10 => test split,
+scene/dataset_readers.py:186-191), per-view SAM-style binary head masks
+`masks/<image>_<k>.png` and YOLO-style bbox tensors `bboxes/<image>.pt`.
+
+The ground-truth images are rendered with our own rasterizer from a known
+Gaussian scene (ground plane + ellipsoidal "wheat heads"), so training on the
+output is perfectly self-consistent and mask lifting has real 3D structure.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from ..utils import graphics
+
+
+def _scene_points(rng: np.ndarray, n_heads: int, pts_per_head: int,
+                  ground_pts: int):
+    """Returns (points, colors, head_id) with head_id 0 = ground."""
+    pts, cols, hid = [], [], []
+    # ground plane z ~ 0 (greens/browns)
+    g = np.stack([rng.uniform(-1.2, 1.2, ground_pts),
+                  rng.uniform(-1.2, 1.2, ground_pts),
+                  rng.normal(0.0, 0.02, ground_pts)], axis=1)
+    pts.append(g)
+    base = np.array([0.25, 0.45, 0.15])
+    cols.append(base + rng.normal(0, 0.05, (ground_pts, 3)))
+    hid.append(np.zeros(ground_pts, np.int32))
+    # wheat heads: vertical ellipsoids above the plane (golden)
+    for h in range(n_heads):
+        cx, cy = rng.uniform(-0.8, 0.8, 2)
+        cz = rng.uniform(0.35, 0.55)
+        axis = rng.normal(0, 0.08, 3) + np.array([0, 0, 1.0])
+        axis /= np.linalg.norm(axis)
+        t = rng.normal(0, 1.0, pts_per_head)
+        radial = rng.normal(0, 0.025, (pts_per_head, 3))
+        p = (np.array([cx, cy, cz])[None]
+             + axis[None] * (t[:, None] * 0.09) + radial)
+        pts.append(p)
+        gold = np.array([0.8, 0.7, 0.3])
+        cols.append(gold + rng.normal(0, 0.04, (pts_per_head, 3)))
+        hid.append(np.full(pts_per_head, h + 1, np.int32))
+    return (np.concatenate(pts).astype(np.float32),
+            np.clip(np.concatenate(cols), 0, 1).astype(np.float32),
+            np.concatenate(hid))
+
+
+def _ring_cameras(n: int, radius: float, elev_deg: float,
+                  center=(0.0, 0.0, 0.2)):
+    """COLMAP (qvec, tvec) for n cameras on a ring looking at `center`
+    (+z forward, +y down convention)."""
+    out = []
+    center = np.asarray(center)
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        elev = np.deg2rad(elev_deg)
+        eye = center + radius * np.array(
+            [np.cos(ang) * np.cos(elev), np.sin(ang) * np.cos(elev),
+             np.sin(elev)])
+        fwd = center - eye
+        fwd /= np.linalg.norm(fwd)
+        world_down = np.array([0.0, 0.0, -1.0])
+        right = np.cross(fwd, world_down)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right) * -1.0
+        down /= np.linalg.norm(down)
+        R = np.stack([right, down, fwd], axis=0)  # w2c rotation
+        t = -R @ eye
+        out.append((graphics.rotmat_to_qvec(R), t))
+    return out
+
+
+def make_synthetic_colmap_scene(
+    out_dir: str,
+    plot_id: int = 0,
+    width: int = 160,
+    height: int = 120,
+    n_cams: int = 12,
+    n_heads: int = 4,
+    pts_per_head: int = 120,
+    ground_pts: int = 900,
+    seed: int = 0,
+    point_jitter: float = 0.02,
+) -> dict:
+    """Create the dataset on disk; returns a manifest dict.
+
+    The COLMAP points3D are a jittered subsample of the true scene points so
+    training starts from a realistic (imperfect) SfM-style cloud.
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..models.gaussians import GaussianParams, init_state
+    from ..ops.knn import knn_mean_sq_dist
+    from ..render.pipeline import RasterConfig, render
+    from . import colmap
+
+    rng = np.random.default_rng(seed)
+    points, colors, head_id = _scene_points(rng, n_heads, pts_per_head,
+                                            ground_pts)
+    n = len(points)
+
+    # Ground-truth Gaussian scene: isotropic splats sized by 3-NN distance.
+    dist = np.sqrt(np.asarray(knn_mean_sq_dist(jnp.asarray(points))))
+    log_scales = np.log(np.clip(dist * 0.9, 1e-4, 0.1))[:, None].repeat(3, 1)
+    params = GaussianParams(
+        means=jnp.asarray(points),
+        quats=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
+        log_scales=jnp.asarray(log_scales, jnp.float32),
+        sh_dc=jnp.zeros((n, 1, 3), jnp.float32),
+        sh_rest=jnp.zeros((n, 0, 3), jnp.float32),
+        opacity_logit=jnp.full((n,), 4.0, jnp.float32))
+    state = init_state(params, instance_id=head_id)
+    cap = state.capacity
+    colors_cap = jnp.zeros((cap, 3), jnp.float32).at[:n].set(jnp.asarray(colors))
+    inst_cap = np.zeros(cap, np.int32)
+    inst_cap[:n] = head_id
+
+    fov = 0.9
+    fx = graphics.fov2focal(fov, width)
+    fy = fx
+    fovx = graphics.focal2fov(fx, width)
+    fovy = graphics.focal2fov(fy, height)
+    proj = graphics.projection_matrix(0.01, 100.0, fovx, fovy)
+    config = RasterConfig(max_tiles_per_gauss=32, max_per_tile=256,
+                          tile_batch=16)
+
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "bboxes"), exist_ok=True)
+    sparse = os.path.join(out_dir, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+
+    cams = _ring_cameras(n_cams, radius=2.2, elev_deg=40.0)
+    intr = {1: colmap.ColmapCamera(1, "PINHOLE", width, height,
+                                   np.array([fx, fy, width / 2, height / 2]))}
+    extr = {}
+    manifest = {"images": [], "n_points": n, "n_heads": n_heads}
+    for i, (qvec, tvec) in enumerate(cams):
+        name = f"plot_{plot_id:03d}_{i + 1:02d}.png"
+        image_name = name[:-4]
+        extr[i + 1] = colmap.ColmapImage(
+            i + 1, qvec, tvec, 1, name, np.zeros((0, 2)), np.zeros(0, np.int64))
+
+        R = graphics.qvec_to_rotmat(qvec)
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = tvec
+        full_proj = (proj @ w2c).astype(np.float32)
+        cam_center = (-R.T @ tvec).astype(np.float32)
+        args = (jnp.asarray(w2c, jnp.float32), jnp.asarray(full_proj),
+                jnp.asarray(cam_center), jnp.float32(np.tan(fovx / 2)),
+                jnp.float32(np.tan(fovy / 2)))
+
+        out = render(state, *args, width, height, sh_degree=0,
+                     override_color=colors_cap, config=config)
+        img = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, "images", name))
+
+        # Per-head masks + bboxes (stand-ins for the YOLO+SAM outputs).
+        boxes = []
+        mask_k = 0
+        for h in range(1, n_heads + 1):
+            used = jnp.asarray(inst_cap == h)
+            mout = render(state, *args, width, height, sh_degree=0,
+                          override_color=colors_cap, used_mask=used,
+                          config=config)
+            mask = np.asarray(mout.alpha) > 0.5
+            if mask.sum() < 12:
+                continue
+            ys, xs = np.where(mask)
+            boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
+            Image.fromarray((mask * 255).astype(np.uint8), mode="L").save(
+                os.path.join(out_dir, "masks", f"{image_name}_{mask_k}.png"))
+            mask_k += 1
+        _save_bboxes(os.path.join(out_dir, "bboxes", image_name + ".pt"),
+                     np.asarray(boxes, np.float32).reshape(-1, 4))
+        manifest["images"].append(name)
+
+    colmap.write_intrinsics_binary(os.path.join(sparse, "cameras.bin"), intr)
+    colmap.write_extrinsics_binary(os.path.join(sparse, "images.bin"), extr)
+    sub = rng.choice(n, size=max(n // 2, 64), replace=False)
+    noisy = points[sub] + rng.normal(0, point_jitter, (len(sub), 3))
+    colmap.write_points3D_binary(
+        os.path.join(sparse, "points3D.bin"), noisy.astype(np.float64),
+        (colors[sub] * 255).astype(np.uint8))
+    return manifest
+
+
+def _save_bboxes(path: str, boxes: np.ndarray) -> None:
+    """Save YOLO-style boxes; torch .pt for reference-artifact compatibility,
+    npz fallback if torch is unavailable."""
+    try:
+        import torch
+
+        torch.save(torch.from_numpy(boxes), path)
+    except ImportError:
+        np.save(path + ".npy", boxes)
+
+
+def load_bboxes(path: str) -> np.ndarray:
+    """Counterpart of torch.load(cam.bbox_path) (run_3d_seg.py:137)."""
+    if os.path.exists(path):
+        import torch
+
+        return torch.load(path, weights_only=True).numpy()
+    return np.load(path + ".npy")
