@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Driver benchmark: trains on a synthetic wheat plot on the attached TPU and
+reports steady-state training throughput (plus render FPS as a secondary
+line on stderr).
+
+Prints ONE JSON line:
+  {"metric": "train_iters_per_sec", "value": N, "unit": "it/s",
+   "vs_baseline": N/60}
+Baseline = 60 train it/s per chip (BASELINE.md north star; the reference
+CUDA pipeline budget is 15k iters in <=48h wall on a 24GB GPU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wheat3dgs_tpu.config import ModelParams, OptimizationParams
+    from wheat3dgs_tpu.io.synthetic import make_synthetic_colmap_scene
+    from wheat3dgs_tpu.render.pipeline import RasterConfig, render_jit
+    from wheat3dgs_tpu.scene import Scene
+    from wheat3dgs_tpu.training import Trainer
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    scene_dir = os.environ.get("WHEAT3DGS_BENCH_SCENE", "/tmp/wheat3dgs_bench_scene")
+    width = int(os.environ.get("WHEAT3DGS_BENCH_W", "1600"))
+    height = int(os.environ.get("WHEAT3DGS_BENCH_H", "1200"))
+    iters = int(os.environ.get("WHEAT3DGS_BENCH_ITERS", "600"))
+    warmup = 100
+
+    if not os.path.exists(os.path.join(scene_dir, "sparse", "0", "points3D.bin")):
+        t0 = time.time()
+        make_synthetic_colmap_scene(
+            scene_dir, width=width, height=height, n_heads=6,
+            pts_per_head=400, ground_pts=6000, seed=0, with_masks=False)
+        print(f"synthesized scene in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    model = ModelParams(source_path=scene_dir, model_path="", eval=True,
+                        resolution=1)
+    scene = Scene(model, sh_degree=3, shuffle=False)
+    w, h = scene.image_size
+    config = RasterConfig(max_tiles_per_gauss=16, max_per_tile=512,
+                          tile_batch=128)
+    opt = OptimizationParams(iterations=iters, densify_from_iter=100,
+                             densify_until_iter=iters - 100,
+                             densification_interval=100,
+                             opacity_reset_interval=100_000)
+    trainer = Trainer(scene.gaussians, opt, scene.cameras_extent,
+                      sh_degree=3, config=config)
+    gt_images = jnp.asarray(scene.data.train.images)
+    n_train = gt_images.shape[0]
+    cams = [scene.cam_arrays("train", i) for i in range(n_train)]
+
+    rng = np.random.default_rng(0)
+    # Warm-up: covers compiles for all SH degrees reached + densify.
+    for it in range(1, warmup + 1):
+        vi = int(rng.integers(n_train))
+        m = trainer.step(it, cams[vi], gt_images[vi], w, h)
+    jax.block_until_ready(m["loss"])
+    # Hold SH degree fixed during the timed window (no new compiles).
+    trainer.active_sh_degree = trainer.max_sh_degree
+    t0 = time.time()
+    timed = 0
+    for it in range(warmup + 1, iters + 1):
+        vi = int(rng.integers(n_train))
+        m = trainer.step(it, cams[vi], gt_images[vi], w, h)
+        timed += 1
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    ips = timed / dt
+    print(f"train: {timed} iters in {dt:.2f}s -> {ips:.1f} it/s "
+          f"@{w}x{h}, n_alive={int(m['n_alive'])}, "
+          f"psnr={float(m['psnr']):.2f}", file=sys.stderr)
+
+    # Secondary: render FPS at full res (stderr only).
+    rcams = cams[0]
+    out = render_jit(trainer.state, *rcams, w, h, sh_degree=3, config=config)
+    jax.block_until_ready(out.color)
+    t0 = time.time()
+    reps = 30
+    for _ in range(reps):
+        out = render_jit(trainer.state, *rcams, w, h, sh_degree=3, config=config)
+    jax.block_until_ready(out.color)
+    fps = reps / (time.time() - t0)
+    print(f"render: {fps:.1f} FPS @{w}x{h}", file=sys.stderr)
+
+    print(json.dumps({"metric": "train_iters_per_sec", "value": round(ips, 2),
+                      "unit": "it/s", "vs_baseline": round(ips / 60.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

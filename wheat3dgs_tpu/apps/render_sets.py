@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfg
-from ..render.pipeline import RasterConfig, render
+from ..render.pipeline import RasterConfig, render_jit
 from ..scene import Scene
 
 
@@ -38,7 +38,7 @@ def render_set(scene: Scene, split: str, iteration: int, sh_degree: int,
     os.makedirs(gt_dir, exist_ok=True)
     w, h = group.cameras.width, group.cameras.height
     for i in range(n):
-        out = render(scene.gaussians, *scene.cam_arrays(split, i), w, h,
+        out = render_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
                      sh_degree=sh_degree, bg=bg, config=config)
         save_png(os.path.join(renders_dir, f"{i:05d}.png"), out.color)
         save_png(os.path.join(gt_dir, f"{i:05d}.png"), group.images[i])

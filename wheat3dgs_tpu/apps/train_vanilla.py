@@ -23,7 +23,7 @@ import numpy as np
 from .. import config as cfg
 from ..models.serialization import load_checkpoint, save_checkpoint
 from ..ops.losses import psnr
-from ..render.pipeline import RasterConfig, render
+from ..render.pipeline import RasterConfig, render_jit
 from ..scene import Scene
 from ..training import Trainer
 from ..utils.general import seed_everything
@@ -47,7 +47,7 @@ def evaluate_test(scene: Scene, trainer: Trainer, config: RasterConfig):
     vals = []
     w, h = scene.data.test.cameras.width, scene.data.test.cameras.height
     for i in range(n):
-        out = render(trainer.state, *scene.cam_arrays("test", i), w, h,
+        out = render_jit(trainer.state, *scene.cam_arrays("test", i), w, h,
                      sh_degree=trainer.active_sh_degree, bg=trainer.bg,
                      config=config)
         vals.append(float(psnr(jnp.clip(out.color, 0, 1),

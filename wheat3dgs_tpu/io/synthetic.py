@@ -89,6 +89,7 @@ def make_synthetic_colmap_scene(
     ground_pts: int = 900,
     seed: int = 0,
     point_jitter: float = 0.02,
+    with_masks: bool = True,
 ) -> dict:
     """Create the dataset on disk; returns a manifest dict.
 
@@ -100,7 +101,7 @@ def make_synthetic_colmap_scene(
 
     from ..models.gaussians import GaussianParams, init_state
     from ..ops.knn import knn_mean_sq_dist
-    from ..render.pipeline import RasterConfig, render
+    from ..render.pipeline import RasterConfig, render_jit
     from . import colmap
 
     rng = np.random.default_rng(seed)
@@ -109,7 +110,8 @@ def make_synthetic_colmap_scene(
     n = len(points)
 
     # Ground-truth Gaussian scene: isotropic splats sized by 3-NN distance.
-    dist = np.sqrt(np.asarray(knn_mean_sq_dist(jnp.asarray(points))))
+    dist = np.sqrt(np.maximum(
+        np.asarray(knn_mean_sq_dist(jnp.asarray(points))), 1e-12))
     log_scales = np.log(np.clip(dist * 0.9, 1e-4, 0.1))[:, None].repeat(3, 1)
     params = GaussianParams(
         means=jnp.asarray(points),
@@ -160,8 +162,8 @@ def make_synthetic_colmap_scene(
                 jnp.asarray(cam_center), jnp.float32(np.tan(fovx / 2)),
                 jnp.float32(np.tan(fovy / 2)))
 
-        out = render(state, *args, width, height, sh_degree=0,
-                     override_color=colors_cap, config=config)
+        out = render_jit(state, *args, width, height, sh_degree=0,
+                         override_color=colors_cap, config=config)
         img = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name))
@@ -169,11 +171,11 @@ def make_synthetic_colmap_scene(
         # Per-head masks + bboxes (stand-ins for the YOLO+SAM outputs).
         boxes = []
         mask_k = 0
-        for h in range(1, n_heads + 1):
+        for h in range(1, n_heads + 1 if with_masks else 1):
             used = jnp.asarray(inst_cap == h)
-            mout = render(state, *args, width, height, sh_degree=0,
-                          override_color=colors_cap, used_mask=used,
-                          config=config)
+            mout = render_jit(state, *args, width, height, sh_degree=0,
+                              override_color=colors_cap, used_mask=used,
+                              config=config)
             mask = np.asarray(mout.alpha) > 0.5
             if mask.sum() < 12:
                 continue

@@ -91,6 +91,11 @@ def init_state(params: GaussianParams, instance_id=None,
         return jnp.pad(jnp.asarray(x), [(0, cap - n)] + [(0, 0)] * (x.ndim - 1))
 
     params = jax.tree.map(pad, params)
+    # Dead slots need a valid (non-zero) quaternion: their covariance is
+    # still *computed* (then masked), and a zero quat's normalization has
+    # NaN partials that would poison the backward.
+    params = dataclasses.replace(
+        params, quats=params.quats.at[n:, 0].set(1.0))
     alive = jnp.arange(cap) < n
     if instance_id is None:
         instance_id = jnp.zeros((cap,), jnp.int32)

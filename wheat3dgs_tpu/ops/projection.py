@@ -82,7 +82,11 @@ def project_gaussians(
     in_front = depth > 0.2
 
     p_hom = hom @ full_proj.T                                 # clip space
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    # Culled points (w or z near 0) would produce inf/NaN *partials* that
+    # poison the backward even under zero cotangents (0 * inf = NaN): route
+    # their reciprocals through 1.0 instead.
+    w_safe = jnp.where(in_front, p_hom[:, 3] + 1e-7, 1.0)
+    p_w = 1.0 / w_safe
     ndc = p_hom[:, :2] * p_w[:, None]                         # (N, 2)
     if ndc_offset is not None:
         ndc = ndc + ndc_offset
@@ -96,7 +100,7 @@ def project_gaussians(
     # EWA: J W Sigma W^T J^T with frustum-clamped t.
     lim_x = 1.3 * tanfovx
     lim_y = 1.3 * tanfovy
-    tz = depth
+    tz = jnp.where(in_front, depth, 1.0)  # same inf-partial guard as above
     tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
     ty = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
 

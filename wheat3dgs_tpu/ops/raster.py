@@ -80,8 +80,16 @@ def rasterize(
     max_per_tile: int = 512,
     tile_batch: int = 64,
     bins: Optional[TileBins] = None,
+    remat: bool = True,
 ) -> RasterOut:
-    """Rasterize one view. Static shapes throughout; jit/vmap friendly."""
+    """Rasterize one view. Static shapes throughout; jit/vmap friendly.
+
+    remat=True wraps the per-tile composite in jax.checkpoint so the backward
+    recomputes the (pixels x K) alpha/transmittance matrices instead of
+    storing them — the same trade the reference CUDA backward makes by
+    replaying the forward walk, and necessary to fit HBM at high
+    resolution/occupancy.
+    """
     c = splats.color.shape[1]
     if bg is None:
         bg = jnp.zeros((c,), splats.color.dtype)
@@ -111,6 +119,8 @@ def rasterize(
             pix, xy, conic, col, opac, dep, tvalid, bg)
         return out_c, out_d, out_a
 
+    if remat:
+        one_tile = jax.checkpoint(one_tile)
     out_c, out_d, out_a = jax.lax.map(
         one_tile, (safe, valid, origins), batch_size=tile_batch)
 

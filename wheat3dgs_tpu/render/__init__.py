@@ -1,1 +1,1 @@
-from .pipeline import RasterConfig, RenderOut, render  # noqa: F401
+from .pipeline import RasterConfig, RenderOut, render, render_jit  # noqa: F401

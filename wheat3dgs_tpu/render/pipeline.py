@@ -79,3 +79,10 @@ def render(
         max_per_tile=config.max_per_tile, tile_batch=config.tile_batch)
     return RenderOut(color=out.color, depth=out.depth, alpha=out.alpha,
                      radii=out.radii)
+
+
+# Jitted entry for inference paths (training jits the whole train step).
+render_jit = jax.jit(
+    render,
+    static_argnames=("width", "height", "sh_degree", "scale_modifier",
+                     "config"))

@@ -1,4 +1,4 @@
-"""Jitted 3DGS training step + host-side densification schedule.
+"""Jitted 3DGS training steps + host-side densification schedule.
 
 Reference: the hot loop of train_vanilla_3dgs.py:55-121. TPU redesign:
 
@@ -10,7 +10,10 @@ Reference: the hot loop of train_vanilla_3dgs.py:55-121. TPU redesign:
 - densify/prune/opacity-reset run as their own jitted calls on the reference
   schedule (every 100 iters in [500, 11000], reset at 3000 —
   arguments/__init__.py:84-88);
-- buffers are donated so the Gaussian state updates in place in HBM.
+- buffers are donated so the Gaussian state updates in place in HBM;
+- the same step core scales out: `train_step_views` vmaps over a camera
+  batch (the reference's per-iteration single random camera generalizes to
+  minibatch SGD over views), and parallel/ shards views+plots over a Mesh.
 """
 
 from __future__ import annotations
@@ -30,12 +33,12 @@ from .render.pipeline import RasterConfig, render
 from .utils.general import expon_lr
 
 
-def lr_tree(params: G.GaussianParams, it, opt: OptimizationParams,
-            extent: float):
+def lr_tree(params: G.GaussianParams, it, opt: OptimizationParams, extent):
     """Per-leaf learning rates (reference training_setup + per-step xyz
-    schedule, scene/gaussian_model.py:167-194)."""
-    xyz_lr = expon_lr(
-        it, opt.position_lr_init * extent, opt.position_lr_final * extent,
+    schedule, scene/gaussian_model.py:167-194). ``extent`` may be traced:
+    the log-lerp schedule commutes with a constant scale."""
+    xyz_lr = extent * expon_lr(
+        it, opt.position_lr_init, opt.position_lr_final,
         lr_delay_mult=opt.position_lr_delay_mult,
         max_steps=opt.position_lr_max_steps)
     return G.GaussianParams(
@@ -46,54 +49,104 @@ def lr_tree(params: G.GaussianParams, it, opt: OptimizationParams,
         opacity_logit=jnp.float32(opt.opacity_lr))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sh_degree", "width", "height", "opt", "config"),
-    donate_argnames=("state",))
-def train_step(
-    state: G.GaussianState,
-    w2c: jax.Array,
-    full_proj: jax.Array,
-    cam_center: jax.Array,
-    tanfovx: jax.Array,
-    tanfovy: jax.Array,
-    gt_image: jax.Array,
-    bg: jax.Array,
-    it: jax.Array,
-    *,
-    sh_degree: int,
-    width: int,
-    height: int,
-    opt: OptimizationParams,
-    config: RasterConfig = RasterConfig(),
-):
-    """One optimization step on one camera. Returns (state, metrics)."""
+def _step_core(state: G.GaussianState, w2c, full_proj, cam_center, tanfovx,
+               tanfovy, gt_images, bg, it, extent, *, sh_degree: int,
+               width: int, height: int, opt: OptimizationParams,
+               config: RasterConfig):
+    """One optimization step over a batch of B views (all arrays have a
+    leading B dim; B=1 reproduces the reference's single-camera step)."""
     cap = state.capacity
+    b = gt_images.shape[0]
     ndc_zero = jnp.zeros((cap, 2), jnp.float32)
 
     def loss_fn(params, ndc_offset):
         s = dataclasses.replace(state, params=params)
-        out = render(s, w2c, full_proj, cam_center, tanfovx, tanfovy,
-                     width, height, sh_degree, bg=bg,
-                     ndc_offset=ndc_offset, config=config)
-        ll1 = l1_loss(out.color, gt_image)
-        loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (
-            1.0 - ssim(out.color, gt_image))
-        return loss, (out, ll1)
 
-    (loss, (out, ll1)), (grads, ndc_grad) = jax.value_and_grad(
+        def one_view(w2c_i, fp_i, cc_i, tfx_i, tfy_i, gt_i):
+            out = render(s, w2c_i, fp_i, cc_i, tfx_i, tfy_i, width, height,
+                         sh_degree, bg=bg, ndc_offset=ndc_offset,
+                         config=config)
+            ll1 = l1_loss(out.color, gt_i)
+            loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (
+                1.0 - ssim(out.color, gt_i))
+            mse = ((out.color - gt_i) ** 2).mean()
+            return loss, (ll1, mse, out.radii)
+
+        losses, (ll1s, mses, radii) = jax.vmap(one_view)(
+            w2c, full_proj, cam_center, tanfovx, tanfovy, gt_images)
+        return losses.mean(), (ll1s.mean(), mses.mean(), radii.max(axis=0))
+
+    (loss, (ll1, mse, radii)), (grads, ndc_grad) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(state.params, ndc_zero)
 
-    lrs = lr_tree(state.params, it, opt, extent=1.0)  # extent folded by caller
+    lrs = lr_tree(state.params, it, opt, extent)
     new_params, new_adam = adam_step(state.adam, grads, state.params, lrs)
     state = dataclasses.replace(state, params=new_params, adam=new_adam)
-    state = G.add_densification_stats(state, ndc_grad, out.radii)
+    # ndc_grad sums over the view batch; dividing by B makes a B-view batch
+    # count as one reference "iteration" with the view-mean gradient, so the
+    # densify threshold (tuned for B=1) stays comparable.
+    state = G.add_densification_stats(state, ndc_grad / b, radii)
 
     metrics = {"loss": loss, "l1": ll1,
-               "psnr": 20.0 * -jnp.log10(
-                   jnp.sqrt(((out.color - gt_image) ** 2).mean())),
+               "psnr": 20.0 * -jnp.log10(jnp.sqrt(mse)),
                "n_alive": state.num_alive}
     return state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "opt", "config"),
+    donate_argnames=("state",))
+def train_step(state, w2c, full_proj, cam_center, tanfovx, tanfovy, gt_image,
+               bg, it, *, sh_degree: int, width: int, height: int,
+               opt: OptimizationParams, config: RasterConfig = RasterConfig(),
+               extent=1.0):
+    """Single-view step (reference semantics)."""
+    return _step_core(
+        state, w2c[None], full_proj[None], cam_center[None],
+        jnp.asarray(tanfovx)[None], jnp.asarray(tanfovy)[None],
+        gt_image[None], bg, it, extent, sh_degree=sh_degree, width=width,
+        height=height, opt=opt, config=config)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "opt", "config"),
+    donate_argnames=("state",))
+def train_step_views(state, w2c, full_proj, cam_center, tanfovx, tanfovy,
+                     gt_images, bg, it, *, sh_degree: int, width: int,
+                     height: int, opt: OptimizationParams,
+                     config: RasterConfig = RasterConfig(), extent=1.0):
+    """Minibatch-of-views step: arrays carry a leading B dim. Sharding the
+    B axis over a mesh data-parallelizes the render/backward; gradients
+    reduce into the replicated state automatically."""
+    return _step_core(state, w2c, full_proj, cam_center, tanfovx, tanfovy,
+                      gt_images, bg, it, extent, sh_degree=sh_degree,
+                      width=width, height=height, opt=opt, config=config)
+
+
+def multi_plot_step(sh_degree: int, width: int, height: int,
+                    opt: OptimizationParams,
+                    config: RasterConfig = RasterConfig()):
+    """Build a jitted step over P independent plots x B views each.
+
+    Every per-plot pytree leaf gains a leading P dim ((P, cap, ...) states,
+    (P, B, ...) cameras/images, (P,) extents). With the P axis sharded over
+    a mesh's 'plot' axis and B over 'view', this trains all plots 461-467
+    in one program — the scale-out the reference leaves to SLURM job arrays
+    (run_wheat_3dgs.sh:7,23-28)."""
+    core = functools.partial(_step_core, sh_degree=sh_degree, width=width,
+                             height=height, opt=opt, config=config)
+
+    def stepped(states, w2c, full_proj, cam_center, tanfovx, tanfovy,
+                gt_images, bg, it, extents):
+        return jax.vmap(
+            lambda s, a, b_, c, d, e, f, x: core(s, a, b_, c, d, e, f, bg,
+                                                 it, x))(
+            states, w2c, full_proj, cam_center, tanfovx, tanfovy,
+            gt_images, extents)
+
+    return jax.jit(stepped, donate_argnums=(0,))
 
 
 class Trainer:
@@ -113,12 +166,6 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.bg = jnp.ones(3, jnp.float32) if white_background else \
             jnp.zeros(3, jnp.float32)
-        # Fold the spatial extent into the xyz LR by scaling the schedule's
-        # inputs at call time (train_step uses extent=1.0 internally).
-        self._opt_scaled = dataclasses.replace(
-            opt,
-            position_lr_init=opt.position_lr_init * self.extent,
-            position_lr_final=opt.position_lr_final * self.extent)
 
     def step(self, it: int, cam, gt_image, width: int, height: int):
         """cam: (w2c, full_proj, cam_center, tanfovx, tanfovy) arrays."""
@@ -128,8 +175,8 @@ class Trainer:
         self.state, metrics = train_step(
             self.state, w2c, full_proj, cam_center, tfx, tfy, gt_image,
             self.bg, jnp.int32(it), sh_degree=self.active_sh_degree,
-            width=width, height=height, opt=self._opt_scaled,
-            config=self.config)
+            width=width, height=height, opt=self.opt, config=self.config,
+            extent=self.extent)
         self.maybe_densify(it)
         return metrics
 

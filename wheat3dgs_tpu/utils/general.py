@@ -42,7 +42,13 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     Same normalization + element layout as build_rotation
     (utils/general_utils.py:78-100).
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # eps guard: all-zero quats (dead capacity-padding slots) must not emit
+    # NaN primals OR NaN partials (sqrt'(0) = inf would poison the backward
+    # even under zero cotangents), hence rsqrt of a clamped sum-of-squares.
+    import jax
+
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    q = q * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - w * z)
