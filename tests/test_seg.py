@@ -1,0 +1,130 @@
+"""Mask-lifting + find-&-match segmentation tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wheat3dgs_tpu import testing
+from wheat3dgs_tpu.ops import mask_lift
+from wheat3dgs_tpu.ops.reference_raster import composite_pixels
+from wheat3dgs_tpu.seg.pipeline import reset_label
+
+
+def test_lift_mask_matches_naive_weights():
+    """used_count[l, i] must equal the naive per-pixel blending weights
+    summed over pixels with label l."""
+    cam = testing.look_at_camera(width=64, height=48)
+    g = testing.random_gaussians(n=80, seed=4, spread=0.7)
+    s = testing.project_scene(g, cam, use_colors=True)
+
+    rng = np.random.default_rng(0)
+    gt_mask = rng.integers(0, 3, size=(48, 64)).astype(np.int32)  # labels 0-2
+
+    out = mask_lift.lift_mask(s, jnp.asarray(gt_mask), num_obj=2,
+                              width=64, height=48, max_tiles_per_gauss=32,
+                              max_per_tile=128, tile_batch=4)
+    got = np.asarray(out.used_count)
+
+    ys, xs = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    pix = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], 1), jnp.float32)
+    ref = composite_pixels(pix, s, jnp.zeros(3), tile_grid=(4, 3, 16))
+    w = np.asarray(ref["weights"])                 # (P, N) in sorted order
+    order = np.asarray(ref["order"])
+    want = np.zeros_like(got)
+    labels_flat = gt_mask.ravel()
+    for l in range(3):
+        want[l, order] = w[labels_flat == l].sum(axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # alpha image agrees with weight sums
+    np.testing.assert_allclose(np.asarray(out.alpha).ravel(),
+                               w.sum(axis=1), atol=1e-5)
+
+
+def test_multi_instance_opt_matches_reference_loop():
+    """Vectorized assignment == the reference's per-object normalize+argmax."""
+    rng = np.random.default_rng(1)
+    counts = rng.uniform(0, 5, size=(4, 50)).astype(np.float32)
+    counts[:, :10] = 0.0
+    got = np.asarray(mask_lift.multi_instance_opt(jnp.asarray(counts), 0.1))
+
+    total = counts.sum(0)
+    want = np.zeros_like(counts, bool)
+    for l in range(4):
+        own = counts[l]
+        rest = total - own
+        stack = np.stack([rest, own])
+        nrm = np.linalg.norm(stack, axis=0)
+        nrm[nrm == 0] = 1.0
+        stack = stack / nrm
+        stack[0] += 0.1
+        want[l] = np.argmax(stack, axis=0).astype(bool)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_reset_label_semantics():
+    inst = np.zeros(20, np.int32)
+    inst[:8] = 1                     # head 1 owns slots 0-7
+    # case A: new head mostly overlaps old -> merged into old id
+    new_mask = np.zeros(20, bool)
+    new_mask[:8] = True              # 8/8 overlap, intersect 8/8 >= 0.6
+    out, which = reset_label(inst, new_mask, set_which_object_to=2)
+    assert which == 1 and (out[new_mask] == 1).all()
+    # case B: disjoint -> new id
+    new_mask = np.zeros(20, bool)
+    new_mask[10:15] = True
+    out, which = reset_label(inst, new_mask, set_which_object_to=2)
+    assert which is None and (out[10:15] == 2).all()
+    # case C: high overlap ratio but small intersect w.r.t. new -> new id
+    inst2 = np.zeros(20, np.int32)
+    inst2[0:2] = 1
+    new_mask = np.zeros(20, bool)
+    new_mask[0:2] = True
+    new_mask[2:10] = True            # 2/10 nonzero = 0.2 < 0.8 -> new id
+    out, which = reset_label(inst2, new_mask, set_which_object_to=2)
+    assert which is None and (out[new_mask] == 2).all()
+
+
+@pytest.fixture(scope="module")
+def trained_scene(tmp_path_factory):
+    """Synthetic scene + quick-trained model for the seg pipeline."""
+    from wheat3dgs_tpu.apps.train_vanilla import main as train_main
+    from wheat3dgs_tpu.io.synthetic import make_synthetic_colmap_scene
+
+    scene_dir = str(tmp_path_factory.mktemp("segscene"))
+    model_dir = str(tmp_path_factory.mktemp("segmodel"))
+    make_synthetic_colmap_scene(scene_dir, width=96, height=72, n_heads=3,
+                                pts_per_head=100, ground_pts=500, seed=3)
+    train_main(["-s", scene_dir, "-m", model_dir, "--iterations", "150",
+                "--densify_from_iter", "1000", "--test_iterations", "-1",
+                "--save_iterations", "150", "--max_per_tile", "128",
+                "--sh_degree", "1", "--quiet"])
+    return scene_dir, model_dir
+
+
+def test_run_3d_seg_end_to_end(trained_scene):
+    from wheat3dgs_tpu.apps.run_3d_seg_app import main as seg_main
+
+    scene_dir, model_dir = trained_scene
+    summary = seg_main(["-s", scene_dir, "-m", model_dir,
+                        "--exp_name", "t", "--iou_threshold", "0.4",
+                        "--max_per_tile", "128", "--quiet"])
+    # The synthetic scene has 3 heads; pipeline should find most of them
+    # and must not exceed the count wildly.
+    assert 2 <= summary["num_heads"] <= 4
+    base = summary["out_dir"]
+    plys = os.listdir(os.path.join(base, "ply"))
+    assert len(plys) >= 2
+    assert os.path.exists(os.path.join(base, "results.csv"))
+    assert os.path.exists(os.path.join(base, "gaussians.ply"))
+    segs = os.listdir(os.path.join(base, "2DSeg"))
+    assert len(segs) == 12           # 10 train + 2 test views
+    # 2DSeg maps contain the found head ids
+    from wheat3dgs_tpu.seg.pipeline import load_pt
+
+    ids = set()
+    for f in segs:
+        ids |= set(np.unique(load_pt(os.path.join(base, "2DSeg", f))))
+    assert len(ids - {0}) == summary["num_heads"]

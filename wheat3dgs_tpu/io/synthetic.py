@@ -182,7 +182,7 @@ def make_synthetic_colmap_scene(
             ys, xs = np.where(mask)
             boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
             Image.fromarray((mask * 255).astype(np.uint8), mode="L").save(
-                os.path.join(out_dir, "masks", f"{image_name}_{mask_k}.png"))
+                os.path.join(out_dir, "masks", f"{image_name}_{mask_k:03d}.png"))
             mask_k += 1
         _save_bboxes(os.path.join(out_dir, "bboxes", image_name + ".pt"),
                      np.asarray(boxes, np.float32).reshape(-1, 4))

@@ -1,0 +1,327 @@
+"""Host-driven 2D->3D instance segmentation pipeline (reference:
+run_3d_seg.py:182-394, the paper's find-&-match algorithm).
+
+The control flow is inherently sequential and data-dependent (which masks
+match depends on what was lifted so far), so it stays host-side; every
+compute-heavy leaf is a jitted TPU program:
+  - single-view mask lifting (seg.flashsplat.lift_view),
+  - candidate matching renders batched over ALL other views at once
+    (seg.flashsplat.alpha_views) instead of the reference's per-view loop.
+
+Artifacts mirror the reference tree under <model>/wheat-head/<exp>/:
+ply/wh_*.ply, img/<id>/ overlays, count/<id>.pt, 2DSeg/<image>.pt,
+results.csv, experiment.txt, gaussians.ply.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import random
+import string
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gaussians import GaussianState
+from ..models.serialization import save_ply
+from ..render.pipeline import RasterConfig
+from ..utils import image_ops
+from . import flashsplat
+
+
+def save_pt(obj: np.ndarray, path: str) -> None:
+    """Reference artifacts are torch tensors (.pt); keep them loadable by the
+    reference tooling."""
+    import torch
+
+    torch.save(torch.from_numpy(np.asarray(obj)), path)
+
+
+def load_pt(path: str) -> np.ndarray:
+    import torch
+
+    return torch.load(path, weights_only=True).numpy()
+
+
+def reset_label(instance_id: np.ndarray, obj_used_mask: np.ndarray,
+                set_which_object_to: int, overlap_threshold: float = 0.8
+                ) -> Tuple[np.ndarray, Optional[int]]:
+    """Head-identity overlap resolution (reference GaussianModel.reset_label,
+    scene/gaussian_model.py:465-506). Returns (new instance_id, overlap id or
+    None). Pure-numpy host logic on the (cap,) instance array."""
+    inst = instance_id.copy()
+    sel = inst[obj_used_mask]
+    nonzero = int(np.count_nonzero(sel))
+    if nonzero > 0:
+        total = int(np.count_nonzero(obj_used_mask))
+        overlap_ratio = nonzero / total
+        if overlap_ratio > overlap_threshold:
+            vals, counts = np.unique(sel, return_counts=True)
+            keep = vals != 0
+            which = int(vals[keep][np.argmax(counts[keep])])
+            old_mask = inst == which
+            new_sum = obj_used_mask.sum()
+            intersect = (obj_used_mask & old_mask).sum() / new_sum \
+                if new_sum > 0 else 0.0
+            if intersect < 0.6:
+                inst[obj_used_mask] = set_which_object_to
+                return inst, None
+            inst[obj_used_mask] = which
+            return inst, which
+    inst[obj_used_mask] = set_which_object_to
+    return inst, None
+
+
+def find_new_mask_dir(img_dir: str, num_wheat_head: int) -> str:
+    """Next letter suffix for a re-identified head
+    (reference find_new_mask_dir, run_3d_seg.py:33-46)."""
+    import glob as globmod
+
+    base = os.path.join(img_dir, f"{num_wheat_head:04d}")
+    existing = set(globmod.glob(base + "*"))
+    assert existing, f"no existing directory for {base}*"
+    for letter in string.ascii_lowercase:
+        if f"{base}_{letter}" not in existing:
+            return letter
+    raise RuntimeError("more than 26 overlaps for one head")
+
+
+@dataclasses.dataclass
+class SegContext:
+    """Per-run immutable data: cameras, masks, bboxes, resolution."""
+
+    state: GaussianState
+    cams: tuple                 # stacked (w2c, fp, cc, tfx, tfy) train arrays
+    image_names: List[str]
+    mask_paths: List[List[str]]     # per camera, sorted _000.png order
+    bboxes: List[np.ndarray]        # per camera (M, 4) xyxy at load res
+    width: int
+    height: int
+    config: RasterConfig
+
+
+def _cam_slice(cams, idx):
+    return tuple(c[idx] for c in cams)
+
+
+def _cam_gather(cams, idxs):
+    import jax.numpy as jnp
+
+    sel = jnp.asarray(idxs, jnp.int32)
+    return tuple(jnp.asarray(c)[sel] for c in cams)
+
+
+def lift_counts(ctx: SegContext, cam_idx: int, mask_path: str,
+                pts_filter: Optional[np.ndarray] = None) -> np.ndarray:
+    """opt_label_w_seg for one (view, mask) pair (run_3d_seg.py:74-105)."""
+    mask = image_ops.read_mask(mask_path, (ctx.width, ctx.height))
+    out = flashsplat.lift_view(
+        ctx.state, *_cam_slice(ctx.cams, cam_idx),
+        jnp.asarray(mask, jnp.int32), num_obj=1, width=ctx.width,
+        height=ctx.height, config=ctx.config)
+    counts = np.array(out.used_count)   # writable host copy
+    if pts_filter is not None:
+        counts[1:, pts_filter] = 0.0
+    return counts
+
+
+def counts_to_used_mask(counts: np.ndarray, slackness: float = 0.0
+                        ) -> np.ndarray:
+    """counts -> boolean membership of object 1 (run_3d_seg.py:107-114)."""
+    labels = np.asarray(flashsplat.multi_instance_opt(
+        jnp.asarray(counts), slackness))
+    return labels[1]
+
+
+def find_match(ctx: SegContext, candidate_idxs: Sequence[int],
+               used_mask: np.ndarray, iou_threshold: float
+               ) -> Tuple[List[int], List[str]]:
+    """Batched cross-view matching (reference find_match,
+    run_3d_seg.py:116-172): one vmapped render for all candidate views, then
+    host-side bbox overlap + seg-IoU association."""
+    if len(candidate_idxs) == 0:
+        return [], []
+    cams = _cam_gather(ctx.cams, list(candidate_idxs))
+    alphas = np.asarray(flashsplat.alpha_views(
+        ctx.state, *cams, jnp.asarray(used_mask), width=ctx.width,
+        height=ctx.height, config=ctx.config))
+
+    matched_idx, matched_paths = [], []
+    for row, cam_i in enumerate(candidate_idxs):
+        pred_seg = alphas[row] > 0.5
+        pred_bbox = image_ops.get_bbox_from_mask(pred_seg)
+        boxes = ctx.bboxes[cam_i]
+        overlap = [k for k in range(len(boxes))
+                   if image_ops.is_overlapping(pred_bbox,
+                                               tuple(boxes[k].tolist()))]
+        best_iou, best_path = 0.0, None
+        for k in overlap:
+            if k >= len(ctx.mask_paths[cam_i]):
+                continue
+            path = ctx.mask_paths[cam_i][k]
+            mask = image_ops.read_mask(path, (ctx.width, ctx.height))
+            iou = image_ops.calculate_seg_iou(mask, pred_seg)
+            if iou > best_iou:
+                best_iou, best_path = iou, path
+        if best_iou > iou_threshold:
+            matched_idx.append(cam_i)
+            matched_paths.append(best_path)
+    return matched_idx, matched_paths
+
+
+def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
+                     iou_threshold: float = 0.6, seed: int = 0,
+                     eval_names: Sequence[str] = (),
+                     eval_cams: Optional[tuple] = None,
+                     max_refine_rounds: int = 99,
+                     verbose: bool = True) -> Dict:
+    """The full find-&-match loop (reference training(), run_3d_seg.py:182).
+
+    Returns a summary dict; writes the reference artifact tree."""
+    log = print if verbose else (lambda *a, **k: None)
+    base = os.path.join(out_dir, "wheat-head", exp_name)
+    ply_dir = os.path.join(base, "ply")
+    img_dir = os.path.join(base, "img")
+    count_dir = os.path.join(base, "count")
+    seg_dir = os.path.join(base, "2DSeg")
+    for d in (ply_dir, img_dir, count_dir, seg_dir):
+        os.makedirs(d, exist_ok=True)
+    with open(os.path.join(base, "experiment.txt"), "w") as f:
+        f.write(f"exp_name {exp_name}\niou_threshold {iou_threshold}\n")
+    results_f = open(os.path.join(base, "results.csv"), "w", newline="")
+    writer = csv.writer(results_f)
+    writer.writerow(["id", "init_mask", "num_matches", "num_GS"])
+
+    state = ctx.state
+    inst = np.asarray(state.instance_id).copy()
+    means_z = np.asarray(state.params.means[:, 2])
+    alive = np.asarray(state.alive)
+    z_mean = means_z[alive].mean()
+    pts_filter = means_z < z_mean            # below-canopy (run_3d_seg.py:207)
+    pts_filter |= ~alive
+
+    # 2DSeg maps for train + eval views (run_3d_seg.py:218-235).
+    seg_maps: Dict[str, np.ndarray] = {}
+    for name in list(ctx.image_names) + list(eval_names):
+        seg_maps[name] = np.zeros((ctx.height, ctx.width), np.int32)
+        save_pt(seg_maps[name], os.path.join(seg_dir, f"{name}.pt"))
+
+    all_masks = [(ci, p) for ci in range(len(ctx.image_names))
+                 for p in ctx.mask_paths[ci]]
+    rnd = random.Random(seed)
+    rnd.shuffle(all_masks)
+    processed, buffered = set(), set()
+    num_wheat_head = 0
+    mask_name = lambda p: os.path.splitext(os.path.basename(p))[0]
+
+    for exp_id, (cam_i, path) in enumerate(all_masks):
+        name = mask_name(path)
+        if name in processed:
+            continue
+        if name in buffered:
+            buffered.remove(name)
+            processed.add(name)
+        log(f"==== lifting {name} ====")
+
+        counts = lift_counts(ctx, cam_i, path, pts_filter)
+        used_mask = counts_to_used_mask(counts)
+        if used_mask.sum() == 0:
+            log(f"no above-canopy Gaussians for {name}; pass")
+            continue
+
+        matched = [cam_i]
+        matched_paths = [path]
+        candidates = [i for i in range(len(ctx.image_names)) if i != cam_i]
+        new_idx, new_paths = find_match(ctx, candidates, used_mask,
+                                        iou_threshold)
+        matched += new_idx
+        matched_paths += new_paths
+        processed.update(mask_name(p) for p in new_paths)
+
+        if not new_idx:
+            log(f"no matches for {name}; buffered")
+            if name not in processed:
+                buffered.add(name)
+            continue
+
+        num_wheat_head += 1
+        this_img_dir = os.path.join(img_dir, f"{num_wheat_head:04d}")
+        os.makedirs(this_img_dir, exist_ok=True)
+        processed.add(name)
+
+        # Refinement: lift newly matched masks, re-optimize, re-match
+        # (run_3d_seg.py:297-323).
+        for _ in range(1, max_refine_rounds + 1):
+            for ci, p in zip(new_idx, new_paths):
+                counts += lift_counts(ctx, ci, p)
+            if pts_filter is not None:
+                counts[1:, pts_filter] = 0.0
+            used_mask = counts_to_used_mask(counts)
+            seen = set(matched)
+            candidates = [i for i in range(len(ctx.image_names))
+                          if i not in seen]
+            new_idx, new_paths = find_match(ctx, candidates, used_mask,
+                                            iou_threshold)
+            if not new_idx:
+                break
+            matched += new_idx
+            matched_paths += new_paths
+            processed.update(mask_name(p) for p in new_paths)
+
+        # Overlap resolution against previously found heads.
+        inst, which_overlap = reset_label(inst, used_mask, num_wheat_head)
+        state = dataclasses.replace(state,
+                                    instance_id=jnp.asarray(inst))
+        if which_overlap is not None:
+            num_wheat_head -= 1
+            import shutil
+
+            shutil.rmtree(this_img_dir, ignore_errors=True)
+            which = which_overlap
+            letter = find_new_mask_dir(img_dir, which)
+            head_id = f"{which:04d}_{letter}"
+            this_img_dir = os.path.join(img_dir, head_id)
+            os.makedirs(this_img_dir, exist_ok=True)
+            ply_path = os.path.join(ply_dir, f"wh_{head_id}.ply")
+        else:
+            which = num_wheat_head
+            head_id = f"{which:04d}"
+            ply_path = os.path.join(ply_dir, f"wh_{head_id}.ply")
+        log(f"==== head {head_id}: {len(matched)} matched views ====")
+
+        head_mask = inst == which
+        n_gs = int(head_mask.sum())
+        head_state = dataclasses.replace(
+            state, alive=jnp.asarray(head_mask & alive))
+        save_ply(head_state, ply_path)
+        writer.writerow([head_id, name, str(len(matched)), str(n_gs)])
+        results_f.flush()
+        save_pt(counts, os.path.join(count_dir, f"{which:04d}.pt"))
+
+        # Project back to 2D: update per-view seg maps + overlays
+        # (run_3d_seg.py:351-377).
+        all_idx = list(range(len(ctx.image_names)))
+        alphas = np.asarray(flashsplat.alpha_views(
+            state, *_cam_gather(ctx.cams, all_idx),
+            jnp.asarray(used_mask), width=ctx.width, height=ctx.height,
+            config=ctx.config))
+        views = list(zip(ctx.image_names, alphas))
+        if eval_cams is not None and len(eval_names):
+            ev_alphas = np.asarray(flashsplat.alpha_views(
+                state, *eval_cams, jnp.asarray(used_mask), width=ctx.width,
+                height=ctx.height, config=ctx.config))
+            views += list(zip(eval_names, ev_alphas))
+        for vname, a in views:
+            seg_maps[vname][a > 0.5] = which
+            save_pt(seg_maps[vname], os.path.join(seg_dir, f"{vname}.pt"))
+
+        if exp_id % 5 == 0:
+            save_ply(state, os.path.join(base, "gaussians.ply"))
+
+    save_ply(state, os.path.join(base, "gaussians.ply"))
+    results_f.close()
+    return {"num_heads": num_wheat_head, "state": state,
+            "seg_maps": seg_maps, "out_dir": base}
