@@ -48,7 +48,10 @@ def main():
 
     model = ModelParams(source_path=scene_dir, model_path="", eval=True,
                         resolution=1)
+    t0 = time.time()
     scene = Scene(model, sh_degree=3, shuffle=False)
+    print(f"scene loaded in {time.time() - t0:.1f}s "
+          f"({int(scene.gaussians.num_alive)} splats)", file=sys.stderr)
     w, h = scene.image_size
     config = RasterConfig(max_tiles_per_gauss=16, max_per_tile=512,
                           tile_batch=128)
@@ -64,10 +67,14 @@ def main():
 
     rng = np.random.default_rng(0)
     # Warm-up: covers compiles for all SH degrees reached + densify.
+    t0 = time.time()
     for it in range(1, warmup + 1):
         vi = int(rng.integers(n_train))
         m = trainer.step(it, cams[vi], gt_images[vi], w, h)
-    jax.block_until_ready(m["loss"])
+        if it in (1, warmup):
+            jax.block_until_ready(m["loss"])
+            print(f"warmup it {it} done at {time.time() - t0:.1f}s",
+                  file=sys.stderr)
     # Hold SH degree fixed during the timed window (no new compiles).
     trainer.active_sh_degree = trainer.max_sh_degree
     t0 = time.time()

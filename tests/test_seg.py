@@ -128,3 +128,65 @@ def test_run_3d_seg_end_to_end(trained_scene):
     for f in segs:
         ids |= set(np.unique(load_pt(os.path.join(base, "2DSeg", f))))
     assert len(ids - {0}) == summary["num_heads"]
+
+
+def test_eval_obj_labels_depth_resolution():
+    """Two heads occluding each other: the nearer one wins contested pixels."""
+    import dataclasses
+
+    from wheat3dgs_tpu.models import gaussians as G
+    from wheat3dgs_tpu.render.pipeline import RasterConfig
+    from wheat3dgs_tpu.seg.eval import eval_obj_labels
+
+    cam = testing.look_at_camera(width=32, height=32)
+    # head 1 at z=0 (near, cam at z=-4), head 2 at z=+1 (far), same x/y.
+    means = np.array([[0, 0, 0], [0, 0, 1.0]], np.float32)
+    params = G.GaussianParams(
+        means=jnp.asarray(means),
+        quats=jnp.zeros((2, 4), jnp.float32).at[:, 0].set(1.0),
+        log_scales=jnp.full((2, 3), np.log(0.2), jnp.float32),
+        sh_dc=jnp.zeros((2, 1, 3), jnp.float32),
+        sh_rest=jnp.zeros((2, 0, 3), jnp.float32),
+        opacity_logit=jnp.full((2,), 8.0, jnp.float32))
+    state = G.init_state(params, capacity=8)
+    labels = np.zeros((3, 8), bool)
+    labels[1, 1] = True   # head 1 = far gaussian
+    labels[2, 0] = True   # head 2 = near gaussian
+    conf = RasterConfig(max_tiles_per_gauss=8, max_per_tile=16, tile_batch=4)
+    cams = (jnp.asarray(cam.w2c), jnp.asarray(cam.full_proj),
+            jnp.asarray(cam.cam_center), jnp.float32(cam.tanfovx),
+            jnp.float32(cam.tanfovy))
+    pred = np.asarray(eval_obj_labels(state, jnp.asarray(labels), *cams,
+                                      width=32, height=32, config=conf,
+                                      head_batch=2))
+    center = pred[16, 16]
+    assert center == 2, pred[14:18, 14:18]   # near head claims the center
+
+
+def test_eval_wheatgs_and_render_360(trained_scene, tmp_path):
+    """eval_wheatgs + render_360 field/head run after run_3d_seg artifacts."""
+    from wheat3dgs_tpu.apps.run_3d_seg_app import main as seg_main
+    from wheat3dgs_tpu.apps.eval_wheatgs_app import main as eval_main
+    from wheat3dgs_tpu.apps.render_360_app import main as r360_main
+
+    scene_dir, model_dir = trained_scene
+    seg_main(["-s", scene_dir, "-m", model_dir, "--exp_name", "e2",
+              "--iou_threshold", "0.4", "--max_per_tile", "128", "--quiet"])
+    eval_main(["-s", scene_dir, "-m", model_dir, "--exp_name", "e2"])
+    seg_png = os.path.join(model_dir, "test", "segmentation")
+    overlay_png = os.path.join(model_dir, "test", "overlay")
+    assert len(os.listdir(seg_png)) == 2
+    assert len(os.listdir(overlay_png)) == 2
+    assert os.path.exists(os.path.join(model_dir, "wheat-head", "e2",
+                                       "all_counts.pt"))
+
+    r360_main(["-s", scene_dir, "-m", model_dir, "--exp_name", "e2",
+               "--render_type", "field", "--n_frames", "6",
+               "--framerate", "5"])
+    assert os.path.exists(os.path.join(model_dir, "wheat-head", "e2",
+                                       "wheat_field_360.mp4"))
+    r360_main(["-s", scene_dir, "-m", model_dir, "--exp_name", "e2",
+               "--render_type", "head", "--n_frames", "4",
+               "--framerate", "5"])
+    out360 = os.path.join(model_dir, "wheat-head", "e2", "wheat_head_360")
+    assert len([f for f in os.listdir(out360) if f.endswith(".mp4")]) >= 2
