@@ -49,6 +49,49 @@ def tile_rect(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
     return rmin_x, rmin_y, rmax_x, rmax_y
 
 
+def count_tiles(splats: Splats2D, width: int, height: int, tile: int = TILE,
+                max_tiles_per_gauss: int = 16) -> jnp.ndarray:
+    """(T,) exact per-tile entry counts WITHOUT building the sorted lists.
+
+    Cheap occupancy probe for the adaptive max_per_tile ladder: the composite
+    kernels' K is a static shape, so the host reads these counts (every
+    densify interval, not every step) and picks the smallest ladder rung that
+    covers the scene — padding work scales with real occupancy instead of a
+    worst-case constant.
+    """
+    tiles_x, tiles_y = num_tiles(width, height, tile)
+    t_total = tiles_x * tiles_y
+    mtpg = max_tiles_per_gauss
+    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
+        splats.xy, splats.radius.astype(splats.xy.dtype), tiles_x, tiles_y,
+        tile)
+    span_x = rmax_x - rmin_x
+    count = jnp.where(splats.radius > 0, span_x * (rmax_y - rmin_y), 0)
+    slots = jnp.arange(mtpg, dtype=jnp.int32)
+    safe_span_x = jnp.maximum(span_x, 1)
+    off_x = slots[None, :] % safe_span_x[:, None]
+    off_y = slots[None, :] // safe_span_x[:, None]
+    tile_id = ((rmin_y[:, None] + off_y) * tiles_x
+               + (rmin_x[:, None] + off_x))
+    valid = slots[None, :] < jnp.minimum(count, mtpg)[:, None]
+    tile_id = jnp.where(valid, tile_id, t_total)
+    return jnp.zeros((t_total,), jnp.int32).at[tile_id.ravel()].add(
+        1, mode="drop")
+
+
+MAX_PER_TILE_LADDER = (128, 256, 512, 1024, 2048, 4096)
+
+
+def pick_max_per_tile(max_count: int, headroom: float = 1.3,
+                      ladder=MAX_PER_TILE_LADDER) -> int:
+    """Smallest ladder rung >= headroom * observed max tile occupancy."""
+    need = max_count * headroom
+    for rung in ladder:
+        if rung >= need:
+            return rung
+    return ladder[-1]
+
+
 def bin_splats(splats: Splats2D, width: int, height: int, tile: int = TILE,
                max_tiles_per_gauss: int = 16,
                max_per_tile: int = 512) -> TileBins:

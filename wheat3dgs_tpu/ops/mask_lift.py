@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .binning import TILE, bin_splats, num_tiles
 from .projection import Splats2D
-from .raster import _tile_pixel_grid, composite_tile
+from .raster import _tile_pixel_grid, composite_packed, pack_splats
 
 
 class LiftOut(NamedTuple):
@@ -73,12 +73,11 @@ def lift_mask(
          (jnp.arange(t_total, dtype=jnp.int32) // tiles_x) * tile],
         axis=1).astype(jnp.float32)
     bg = jnp.zeros((splats.color.shape[1],), splats.color.dtype)
+    packed = pack_splats(splats)
 
     def one_tile(tid, tvalid, origin, tlabels):
         pix = pix0 + origin[None, :]
-        _, _, out_a, w = composite_tile(
-            pix, splats.xy[tid], splats.conic[tid], splats.color[tid],
-            splats.opacity[tid], splats.depth[tid], tvalid, bg)
+        _, _, out_a, w = composite_packed(pix, packed[tid], tvalid, bg)
         onehot = (tlabels[:, None] ==
                   jnp.arange(l1, dtype=jnp.int32)[None, :]).astype(w.dtype)
         contrib = jnp.einsum("pl,pk->lk", onehot, w,

@@ -86,3 +86,31 @@ render_jit = jax.jit(
     render,
     static_argnames=("width", "height", "sh_degree", "scale_modifier",
                      "config"))
+
+
+def adapt_config(state: GaussianState, cam, width: int, height: int,
+                 config: RasterConfig = RasterConfig(),
+                 headroom: float = 1.5) -> RasterConfig:
+    """Probe one view's tile occupancy and shrink/grow max_per_tile to the
+    smallest ladder rung that covers it — composite cost then scales with
+    real occupancy (see ops/binning.py ladder notes)."""
+    import functools
+
+    from ..ops.binning import count_tiles, pick_max_per_tile
+
+    @functools.partial(jax.jit, static_argnames=("width", "height", "tile",
+                                                 "mtpg"))
+    def probe(state, w2c, full_proj, cam_center, tanfovx, tanfovy, *,
+              width, height, tile, mtpg):
+        splats = project_gaussians(
+            state.params.means, state.scales(), state.params.quats,
+            state.opacity(), w2c, full_proj, cam_center, tanfovx, tanfovy,
+            width, height,
+            colors=jnp.zeros((state.capacity, 1), jnp.float32))
+        return count_tiles(splats, width, height, tile, mtpg).max()
+
+    max_count = int(probe(state, *cam, width=width, height=height,
+                          tile=config.tile,
+                          mtpg=config.max_tiles_per_gauss))
+    mpt = pick_max_per_tile(max_count, headroom=headroom)
+    return dataclasses.replace(config, max_per_tile=mpt)

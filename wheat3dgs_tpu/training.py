@@ -28,9 +28,25 @@ import jax.numpy as jnp
 from .config import OptimizationParams
 from .models import gaussians as G
 from .models.optim import adam_step
+from .ops.binning import count_tiles, pick_max_per_tile
 from .ops.losses import l1_loss, ssim
+from .ops.projection import project_gaussians
 from .render.pipeline import RasterConfig, render
 from .utils.general import expon_lr
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "tile", "mtpg"))
+def occupancy_probe(state: "G.GaussianState", w2c, full_proj, cam_center,
+                    tanfovx, tanfovy, *, width: int, height: int,
+                    tile: int = 16, mtpg: int = 16):
+    """Max per-tile splat count for one view — drives the adaptive
+    max_per_tile ladder (see ops/binning.py)."""
+    splats = project_gaussians(
+        state.params.means, state.scales(), state.params.quats,
+        state.opacity(), w2c, full_proj, cam_center, tanfovx, tanfovy,
+        width, height, colors=jnp.zeros((state.capacity, 1), jnp.float32))
+    return count_tiles(splats, width, height, tile, mtpg).max()
 
 
 def lr_tree(params: G.GaussianParams, it, opt: OptimizationParams, extent):
@@ -156,21 +172,37 @@ class Trainer:
     def __init__(self, state: G.GaussianState, opt: OptimizationParams,
                  cameras_extent: float, sh_degree: int = 3,
                  config: RasterConfig = RasterConfig(), seed: int = 0,
-                 white_background: bool = False):
+                 white_background: bool = False,
+                 adaptive_occupancy: bool = True):
         self.state = state
         self.opt = opt
         self.extent = float(cameras_extent)
         self.max_sh_degree = sh_degree
         self.active_sh_degree = 0
         self.config = config
+        self.adaptive_occupancy = adaptive_occupancy
+        self._occupancy_due = True
         self.rng = jax.random.PRNGKey(seed)
         self.bg = jnp.ones(3, jnp.float32) if white_background else \
             jnp.zeros(3, jnp.float32)
+
+    def _refresh_occupancy(self, cam, width: int, height: int) -> None:
+        """Re-pick max_per_tile from real occupancy (called at start + after
+        every densify/prune/capacity event, NOT per step)."""
+        max_count = int(occupancy_probe(
+            self.state, *cam, width=width, height=height,
+            tile=self.config.tile, mtpg=self.config.max_tiles_per_gauss))
+        mpt = pick_max_per_tile(max_count, headroom=1.5)
+        if mpt != self.config.max_per_tile:
+            self.config = dataclasses.replace(self.config, max_per_tile=mpt)
+        self._occupancy_due = False
 
     def step(self, it: int, cam, gt_image, width: int, height: int):
         """cam: (w2c, full_proj, cam_center, tanfovx, tanfovy) arrays."""
         if it % 1000 == 0 and self.active_sh_degree < self.max_sh_degree:
             self.active_sh_degree += 1  # oneupSHdegree (train loop :61-62)
+        if self.adaptive_occupancy and self._occupancy_due:
+            self._refresh_occupancy(cam, width, height)
         w2c, full_proj, cam_center, tfx, tfy = cam
         self.state, metrics = train_step(
             self.state, w2c, full_proj, cam_center, tfx, tfy, gt_image,
@@ -195,6 +227,7 @@ class Trainer:
                         int(info["n_alive"]) > 0.9 * self.state.capacity):
                     self.state = G.grow_capacity(
                         self.state, self.state.capacity * 2)
+                self._occupancy_due = True
             if it % opt.opacity_reset_interval == 0 and it > 0:
                 self.state = G.reset_opacity(self.state)
         return info
