@@ -91,10 +91,10 @@ def main():
           f"psnr={float(m['psnr']):.2f}", file=sys.stderr)
 
     # Secondary: render FPS at full res (stderr only).
-    from wheat3dgs_tpu.render.pipeline import adapt_config
+    from wheat3dgs_tpu.render.pipeline import adapt_config, inference_config
 
     rcams = cams[0]
-    config = adapt_config(trainer.state, rcams, w, h, config)
+    config = inference_config(adapt_config(trainer.state, rcams, w, h, config))
     out = render_jit(trainer.state, *rcams, w, h, sh_degree=3, config=config)
     jax.block_until_ready(out.color)
     t0 = time.time()

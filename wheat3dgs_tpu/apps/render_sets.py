@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfg
-from ..render.pipeline import RasterConfig, adapt_config, render_jit
+from ..render.pipeline import (RasterConfig, adapt_config,
+                               inference_config, render_jit)
 from ..scene import Scene
 
 
@@ -37,8 +38,8 @@ def render_set(scene: Scene, split: str, iteration: int, sh_degree: int,
     os.makedirs(renders_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
     w, h = group.cameras.width, group.cameras.height
-    config = adapt_config(scene.gaussians, scene.cam_arrays(split, 0), w, h,
-                          config)
+    config = inference_config(adapt_config(
+        scene.gaussians, scene.cam_arrays(split, 0), w, h, config))
     for i in range(n):
         out = render_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
                      sh_degree=sh_degree, bg=bg, config=config)

@@ -49,6 +49,36 @@ def tile_rect(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
     return rmin_x, rmin_y, rmax_x, rmax_y
 
 
+def capped_rect(splats: Splats2D, tiles_x: int, tiles_y: int, tile: int,
+                max_tiles_per_gauss: int):
+    """Covered-rect per splat, center-cropped to <= max_tiles_per_gauss tiles.
+
+    A splat whose rect exceeds the static expansion cap keeps a centered
+    window instead of the row-major prefix (a prefix would crop splats to a
+    top band — a visible artifact on the rare huge splats early in training).
+    Returns (rmin_x, rmin_y, span_x, span_y, count).
+    """
+    m = max_tiles_per_gauss
+    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
+        splats.xy, splats.radius.astype(splats.xy.dtype), tiles_x, tiles_y,
+        tile)
+    span_x = rmax_x - rmin_x
+    span_y = rmax_y - rmin_y
+    area = jnp.maximum(span_x * span_y, 1)
+    scale = jnp.sqrt(m / area.astype(jnp.float32))
+    new_sx = jnp.clip(jnp.floor(span_x * jnp.minimum(scale, 1.0)), 1,
+                      span_x).astype(jnp.int32)
+    new_sx = jnp.minimum(new_sx, m)
+    new_sy = jnp.clip(m // jnp.maximum(new_sx, 1), 1, span_y)
+    over = span_x * span_y > m
+    sx = jnp.where(over, new_sx, span_x)
+    sy = jnp.where(over, new_sy, span_y)
+    rx = jnp.where(over, rmin_x + (span_x - sx) // 2, rmin_x)
+    ry = jnp.where(over, rmin_y + (span_y - sy) // 2, rmin_y)
+    count = jnp.where(splats.radius > 0, sx * sy, 0)
+    return rx, ry, sx, sy, count
+
+
 def count_tiles(splats: Splats2D, width: int, height: int, tile: int = TILE,
                 max_tiles_per_gauss: int = 16) -> jnp.ndarray:
     """(T,) exact per-tile entry counts WITHOUT building the sorted lists.
@@ -62,18 +92,15 @@ def count_tiles(splats: Splats2D, width: int, height: int, tile: int = TILE,
     tiles_x, tiles_y = num_tiles(width, height, tile)
     t_total = tiles_x * tiles_y
     mtpg = max_tiles_per_gauss
-    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
-        splats.xy, splats.radius.astype(splats.xy.dtype), tiles_x, tiles_y,
-        tile)
-    span_x = rmax_x - rmin_x
-    count = jnp.where(splats.radius > 0, span_x * (rmax_y - rmin_y), 0)
+    rmin_x, rmin_y, span_x, _, count = capped_rect(
+        splats, tiles_x, tiles_y, tile, mtpg)
     slots = jnp.arange(mtpg, dtype=jnp.int32)
     safe_span_x = jnp.maximum(span_x, 1)
     off_x = slots[None, :] % safe_span_x[:, None]
     off_y = slots[None, :] // safe_span_x[:, None]
     tile_id = ((rmin_y[:, None] + off_y) * tiles_x
                + (rmin_x[:, None] + off_x))
-    valid = slots[None, :] < jnp.minimum(count, mtpg)[:, None]
+    valid = slots[None, :] < count[:, None]
     tile_id = jnp.where(valid, tile_id, t_total)
     return jnp.zeros((t_total,), jnp.int32).at[tile_id.ravel()].add(
         1, mode="drop")
@@ -108,11 +135,8 @@ def bin_splats(splats: Splats2D, width: int, height: int, tile: int = TILE,
     t_total = tiles_x * tiles_y
     mtpg = max_tiles_per_gauss
 
-    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
-        splats.xy, splats.radius.astype(splats.xy.dtype), tiles_x, tiles_y, tile)
-    span_x = rmax_x - rmin_x
-    span_y = rmax_y - rmin_y
-    count = jnp.where(splats.radius > 0, span_x * span_y, 0)   # (N,)
+    rmin_x, rmin_y, span_x, _, count = capped_rect(
+        splats, tiles_x, tiles_y, tile, mtpg)
 
     # Depth rank as secondary sort key (stable ordering identical to CUDA's
     # depth-ascending within a tile).
@@ -127,7 +151,7 @@ def bin_splats(splats: Splats2D, width: int, height: int, tile: int = TILE,
     off_y = slots[None, :] // safe_span_x[:, None]
     tile_id = ((rmin_y[:, None] + off_y) * tiles_x
                + (rmin_x[:, None] + off_x)).astype(jnp.int32)
-    valid = slots[None, :] < jnp.minimum(count, mtpg)[:, None]
+    valid = slots[None, :] < count[:, None]
     tile_id = jnp.where(valid, tile_id, t_total)               # sentinel last
 
     gauss_idx = jnp.broadcast_to(
