@@ -53,8 +53,10 @@ def main():
     print(f"scene loaded in {time.time() - t0:.1f}s "
           f"({int(scene.gaussians.num_alive)} splats)", file=sys.stderr)
     w, h = scene.image_size
-    config = RasterConfig(max_tiles_per_gauss=16, max_per_tile=512,
-                          tile_batch=128)
+    from wheat3dgs_tpu.render.pipeline import inference_config
+
+    config = inference_config(RasterConfig(
+        max_tiles_per_gauss=16, max_per_tile=512, tile_batch=128))
     opt = OptimizationParams(iterations=iters, densify_from_iter=100,
                              densify_until_iter=iters - 100,
                              densification_interval=100,

@@ -48,3 +48,41 @@ def test_pallas_empty_scene():
     np.testing.assert_allclose(img[0], 0.5, atol=1e-6)
     np.testing.assert_allclose(img[2], 1.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.alpha), 0.0, atol=1e-6)
+
+
+def test_pallas_gradients_match_xla():
+    """custom_vjp backward kernel vs XLA autodiff gradients."""
+    from wheat3dgs_tpu.ops import projection
+
+    cam = testing.look_at_camera(width=48, height=32)
+    g = testing.random_gaussians(n=40, seed=5, spread=0.7)
+    gt = jnp.asarray(np.random.default_rng(0).random((3, 32, 48)),
+                     jnp.float32)
+    bg = jnp.array([0.2, 0.1, 0.4], jnp.float32)
+
+    def make_loss(raster_fn):
+        def loss(means, scales, opac):
+            s = projection.project_gaussians(
+                means, scales, jnp.asarray(g["quats"]), opac, cam.w2c,
+                cam.full_proj, cam.cam_center, cam.tanfovx, cam.tanfovy,
+                48, 32, colors=jnp.asarray(g["colors"]))
+            out = raster_fn(s)
+            return (((out.color - gt) ** 2).mean() + out.depth.mean() * 0.1
+                    + out.alpha.mean() * 0.05)
+        return loss
+
+    args = (jnp.asarray(g["means3d"]), jnp.asarray(g["scales"]),
+            jnp.asarray(g["opacities"]))
+    gx = jax.grad(make_loss(
+        lambda s: raster_ops.rasterize(s, 48, 32, bg,
+                                       max_tiles_per_gauss=16,
+                                       max_per_tile=128)),
+        argnums=(0, 1, 2))(*args)
+    gp = jax.grad(make_loss(
+        lambda s: rasterize_pallas(s, 48, 32, bg, max_tiles_per_gauss=16,
+                                   interpret=INTERPRET)),
+        argnums=(0, 1, 2))(*args)
+    for a, b in zip(gx, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 0.02

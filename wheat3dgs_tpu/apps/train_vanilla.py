@@ -23,7 +23,7 @@ import numpy as np
 from .. import config as cfg
 from ..models.serialization import load_checkpoint, save_checkpoint
 from ..ops.losses import psnr
-from ..render.pipeline import RasterConfig, render_jit
+from ..render.pipeline import RasterConfig, inference_config, render_jit
 from ..scene import Scene
 from ..training import Trainer
 from ..utils.general import seed_everything
@@ -148,8 +148,9 @@ def main(argv=None):
     model = cfg.extract(cfg.ModelParams, args)
     opt = cfg.extract(cfg.OptimizationParams, args)
     pipe = cfg.extract(cfg.PipelineParams, args)
-    rconf = RasterConfig(max_per_tile=args.max_per_tile,
-                         max_tiles_per_gauss=args.max_tiles_per_gauss)
+    rconf = inference_config(RasterConfig(
+        max_per_tile=args.max_per_tile,
+        max_tiles_per_gauss=args.max_tiles_per_gauss))
     print(f"Optimizing {model.model_path or '(new output dir)'}")
     training(model, opt, pipe, set(args.test_iterations),
              set(args.save_iterations), set(args.checkpoint_iterations),

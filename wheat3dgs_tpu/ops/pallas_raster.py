@@ -75,8 +75,10 @@ def _sorted_entries(splats: Splats2D, width: int, height: int, tile: int,
     gauss_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, mtpg))
     ranks = jnp.broadcast_to(rank[:, None], (n, mtpg))
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (tile_id.ravel(), ranks.ravel(), gauss_idx.ravel()),
+    e = n * mtpg
+    orig_pos = jnp.arange(e, dtype=jnp.int32)
+    sorted_tile, _, sorted_gauss, sorted_orig = jax.lax.sort(
+        (tile_id.ravel(), ranks.ravel(), gauss_idx.ravel(), orig_pos),
         num_keys=2, is_stable=False)
 
     tids = jnp.arange(t_total, dtype=sorted_tile.dtype)
@@ -85,7 +87,6 @@ def _sorted_entries(splats: Splats2D, width: int, height: int, tile: int,
     counts = ends - starts
 
     # Re-pack segments CHUNK-aligned so every DMA offset is a lane multiple.
-    e = n * mtpg
     e_pad = e + (CHUNK - 1) * t_total
     chunk_rows = -(-counts // CHUNK) * CHUNK          # per-tile padded length
     padded_starts = jnp.concatenate(
@@ -98,13 +99,21 @@ def _sorted_entries(splats: Splats2D, width: int, height: int, tile: int,
     idx_table = jnp.full((e_pad,), -1, jnp.int32).at[target].set(
         sorted_gauss, mode="drop")
 
-    packed = pack_splats(splats)                      # (N, 8+C)
+    # Inverse map for the backward's duplicate-free reduction: expansion slot
+    # (gauss i, slot j) -> its padded entry row (or e_pad when unused). The
+    # scatter below is a pure permutation (unique indices), so it stays fast.
+    inv_map = jnp.full((e,), e_pad, jnp.int32).at[sorted_orig].set(
+        jnp.where(sorted_tile < t_total, target, e_pad))
+    inv_map = inv_map.reshape(n, mtpg)
+    return idx_table, padded_starts, counts, inv_map
+
+
+def _entry_table(packed: jnp.ndarray, idx_table: jnp.ndarray) -> jnp.ndarray:
+    """(E_pad, FEAT) gathered rows, zeroed for padding entries."""
     c = packed.shape[1] - 8
     packed = jnp.pad(packed, ((0, 0), (0, FEAT - 8 - c)))
-    entries_row = packed[jnp.maximum(idx_table, 0)]   # (E_pad, FEAT)
-    # Dead (padding) entries must never contribute: zero their opacity.
-    entries_row = jnp.where((idx_table >= 0)[:, None], entries_row, 0.0)
-    return entries_row, entries_row.T, padded_starts, counts, idx_table
+    rows = packed[jnp.maximum(idx_table, 0)]
+    return jnp.where((idx_table >= 0)[:, None], rows, 0.0)
 
 
 def _fwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
@@ -216,6 +225,222 @@ def _fwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
     return kernel
 
 
+def _bwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
+    """Gradient replay: one front-to-back pass per tile.
+
+    Per-pixel upstream grads g (color, depth, alpha) and the precomputed
+    total weighted sum A = sum_k w_k u_k let every chunk compute the suffix
+    sums it needs from a running prefix:
+        u_k      = g . [color_k - bg, depth_k, 1]
+        dL/dw_k  = u_k
+        dL/da_k  = T_before_k u_k - (A - prefix_k) / (1 - a_k)
+    then chain to conic/xy/opacity. Entry-gradient rows live in tile-disjoint
+    segments, so writes need no atomics (unlike the CUDA backward).
+    """
+    p = tile * tile
+
+    def kernel(starts_ref, counts_ref, lane_hbm, g_ref, out_hbm,
+               lane_buf, dent_buf, sem_in, sem_out):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        count = counts_ref[t]
+        nc = pl.cdiv(count, CHUNK)
+
+        tx = (t % tiles_x) * tile
+        ty = (t // tiles_x) * tile
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        px = (tx + pix_i % tile).astype(jnp.float32)
+        py = (ty + pix_i // tile).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        g = g_ref[0]                                          # (P, C+2)
+        gdep = g[:, n_color:n_color + 1]                      # (P, 1)
+        galpha = g[:, n_color + 1:n_color + 2]
+        # gmat rows match the packed FEAT layout (col 6 = depth, 8+ = color).
+        parts = [jnp.zeros((p, 6), jnp.float32), gdep,
+                 jnp.zeros((p, 1), jnp.float32), g[:, 0:n_color]]
+        if FEAT - 8 - n_color:
+            parts.append(jnp.zeros((p, FEAT - 8 - n_color), jnp.float32))
+        gmat = jnp.concatenate(parts, axis=1)                 # (P, FEAT)
+        u_const = galpha
+        for ci in range(n_color):
+            u_const = u_const - g[:, ci:ci + 1] * float(bg[ci])
+
+        def alpha_w_u(j, logt):
+            """Shared replay math for one chunk (assumes entry chunk j is in
+            lane_buf). Returns (e, dx, dy, power, ep, raw, alpha, live,
+            t_before, include, w, u, new_logt)."""
+            e = lane_buf[:]                                   # (FEAT, CHUNK)
+            valid = (j * CHUNK + lane) < count
+            dx = px - e[0:1, :]
+            dy = py - e[1:2, :]
+            power = (-0.5 * (e[2:3, :] * dx * dx + e[4:5, :] * dy * dy)
+                     - e[3:4, :] * dx * dy)
+            ep = jnp.exp(power)
+            raw = e[5:6, :] * ep
+            alpha = jnp.minimum(ALPHA_MAX, raw)
+            live = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
+            alpha = jnp.where(live, alpha, 0.0)
+            l1m = jnp.log1p(-alpha)
+            tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
+            log_t_after = logt + jnp.dot(
+                l1m, tri, preferred_element_type=jnp.float32)
+            include = log_t_after >= LOG_T_EPS
+            t_before = jnp.exp(log_t_after - l1m)
+            w = jnp.where(include, alpha * t_before, 0.0)
+            u = jax.lax.dot_general(
+                gmat, e, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + u_const  # (P, CHUNK)
+            return (e, dx, dy, power, ep, raw, alpha, live, t_before,
+                    include, w, u, log_t_after)
+
+        def load(j):
+            off = pl.multiple_of(start + j * CHUNK, CHUNK)
+            dma_in = pltpu.make_async_copy(
+                lane_hbm.at[:, pl.ds(off, CHUNK)], lane_buf, sem_in)
+            dma_in.start()
+            dma_in.wait()
+            return off
+
+        # Pass 1: A = sum_k w_k u_k in the SAME arithmetic as pass 2 —
+        # reconstructing A from the forward outputs leaks O(1e-3) error into
+        # every suffix term otherwise.
+        def pass1(j, carry):
+            logt, a_tot = carry
+            load(j)
+            *_, w, u, log_t_after = alpha_w_u(j, logt)
+            return (log_t_after[:, CHUNK - 1:CHUNK],
+                    a_tot + jnp.sum(w * u, axis=1, keepdims=True))
+
+        _, a_total = jax.lax.fori_loop(
+            0, nc, pass1,
+            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
+
+        def chunk_body(j, carry):
+            logt, prefix_carry = carry
+            off = load(j)
+            (e, dx, dy, power, ep, raw, alpha, live, t_before, include, w,
+             u, log_t_after) = alpha_w_u(j, logt)
+            tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
+            pu = w * u
+            prefix = prefix_carry + jnp.dot(
+                pu, tri, preferred_element_type=jnp.float32)   # (P, CHUNK)
+            suffix = a_total - prefix
+            grad_ok = live & include & (raw < ALPHA_MAX)
+            dalpha = jnp.where(grad_ok,
+                               t_before * u - suffix / (1.0 - alpha), 0.0)
+            dpow = dalpha * alpha                              # (P, CHUNK)
+            dop = dalpha * jnp.where(grad_ok, ep, 0.0)
+
+            # Per-entry reductions over pixels (rows = FEAT layout).
+            fg = jax.lax.dot_general(
+                gmat, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (FEAT, CHUNK)
+            a_, b_, c_ = e[2:3, :], e[3:4, :], e[4:5, :]
+            geo = jnp.concatenate([
+                jnp.sum(dpow * (a_ * dx + b_ * dy), 0, keepdims=True),
+                jnp.sum(dpow * (b_ * dx + c_ * dy), 0, keepdims=True),
+                jnp.sum(-0.5 * dx * dx * dpow, 0, keepdims=True),
+                jnp.sum(-dx * dy * dpow, 0, keepdims=True),
+                jnp.sum(-0.5 * dy * dy * dpow, 0, keepdims=True),
+                jnp.sum(dop, 0, keepdims=True),
+            ], axis=0)                                         # (6, CHUNK)
+            # rows 0-5 of fg are zero (gmat has no geometry columns).
+            dent_buf[:] = jnp.concatenate([geo, fg[6:, :]], axis=0)
+            dma_out = pltpu.make_async_copy(
+                dent_buf, out_hbm.at[:, pl.ds(off, CHUNK)], sem_out)
+            dma_out.start()
+            dma_out.wait()
+            return (log_t_after[:, CHUNK - 1:CHUNK],
+                    prefix[:, CHUNK - 1:CHUNK])
+
+        jax.lax.fori_loop(
+            0, nc, chunk_body,
+            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
+                   interpret: bool):
+    """custom_vjp'd (packed, idx_table, starts, counts, inv_map) ->
+    raw per-tile images (T, P, C+2)."""
+    p = tile * tile
+
+    def run_fwd(packed, idx_table, starts, counts):
+        entries_lane = _entry_table(packed, idx_table).T
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t_total,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((1, p, c + 2), lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            _fwd_kernel(tiles_x, tile, c, bg),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t_total, p, c + 2), jnp.float32),
+            interpret=interpret,
+        )(starts, counts, entries_lane)
+
+    @jax.custom_vjp
+    def comp(packed, idx_table, starts, counts, inv_map):
+        return run_fwd(packed, idx_table, starts, counts)
+
+    def comp_fwd(packed, idx_table, starts, counts, inv_map):
+        out = run_fwd(packed, idx_table, starts, counts)
+        return out, (packed, idx_table, starts, counts, inv_map, out)
+
+    def comp_bwd(res, g):
+        packed, idx_table, starts, counts, inv_map, out = res
+        e_pad = idx_table.shape[0]
+        entries_lane = _entry_table(packed, idx_table).T
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t_total,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),        # entries
+                pl.BlockSpec((1, p, c + 2), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),       # g
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dentries lane
+            scratch_shapes=[
+                pltpu.VMEM((FEAT, CHUNK), jnp.float32),
+                pltpu.VMEM((FEAT, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        dent_lane = pl.pallas_call(
+            _bwd_kernel(tiles_x, tile, c, bg),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((FEAT, e_pad), jnp.float32),
+            interpret=interpret,
+        )(starts, counts, entries_lane, g)
+
+        # Duplicate-free reduction back to per-splat grads: each splat's
+        # <= mtpg entry rows are known a priori (inv_map), so the transpose
+        # of the entry gather is a plain gather + sum — no TPU scatter.
+        dent = dent_lane.T                                   # (E_pad, FEAT)
+        safe = jnp.minimum(inv_map, e_pad - 1)
+        rows = dent[safe]                                    # (N, mtpg, FEAT)
+        rows = jnp.where((inv_map < e_pad)[..., None], rows, 0.0)
+        dpacked = rows.sum(axis=1)[:, :8 + c]
+        from jax import dtypes
+
+        f0 = lambda x: np.zeros(x.shape, dtypes.float0)
+        return (dpacked, f0(idx_table), f0(starts), f0(counts), f0(inv_map))
+
+    comp.defvjp(comp_fwd, comp_bwd)
+    return comp
+
+
 def rasterize_pallas(
     splats: Splats2D,
     width: int,
@@ -225,42 +450,22 @@ def rasterize_pallas(
     max_tiles_per_gauss: int = 16,
     interpret: bool = False,
 ) -> RasterOut:
-    """Forward-only Pallas rasterization (inference path; training uses the
-    differentiable XLA composite)."""
+    """Differentiable Pallas rasterization (custom_vjp backward kernel)."""
     c = splats.color.shape[1]
     assert c <= FEAT - 8, f"at most {FEAT - 8} color channels"
-    if bg is None:
-        bg_t = (0.0,) * c
-    else:
-        bg_t = tuple(float(x) for x in np.asarray(bg))
+    # The kernel composites over black; bg is applied outside via the alpha
+    # channel (color + (1 - alpha) * bg), so bg may be a traced array.
+    bg_t = (0.0,) * c
     tiles_x, tiles_y = num_tiles(width, height, tile)
     t_total = tiles_x * tiles_y
     p = tile * tile
 
-    entries_row, entries_lane, starts, counts, _ = _sorted_entries(
-        splats, width, height, tile, max_tiles_per_gauss)
-
-    kernel = _fwd_kernel(tiles_x, tile, c, bg_t)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(t_total,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # entries_lane (FEAT, E)
-        ],
-        out_specs=pl.BlockSpec((1, p, c + 2), lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),   # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),                 # prefetch parity
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_total, p, c + 2), jnp.float32),
-        interpret=interpret,
-    )(starts, counts, entries_lane)
+    idx_table, starts, counts, inv_map = _sorted_entries(
+        jax.lax.stop_gradient(splats), width, height, tile,
+        max_tiles_per_gauss)
+    packed = pack_splats(splats)
+    comp = _composite_fns(tiles_x, t_total, tile, c, bg_t, interpret)
+    out = comp(packed, idx_table, starts, counts, inv_map)
 
     def assemble(flat, channels):
         img = flat.reshape(tiles_y, tiles_x, tile, tile, channels)
@@ -269,6 +474,9 @@ def rasterize_pallas(
         return img[:height, :width]
 
     img = assemble(out.reshape(t_total, p, c + 2), c + 2)
-    return RasterOut(color=img[..., :c].transpose(2, 0, 1),
-                     depth=img[..., c], alpha=img[..., c + 1],
+    color = img[..., :c].transpose(2, 0, 1)
+    alpha = img[..., c + 1]
+    if bg is not None:
+        color = color + (1.0 - alpha)[None] * jnp.asarray(bg)[:, None, None]
+    return RasterOut(color=color, depth=img[..., c], alpha=alpha,
                      radii=splats.radius)
