@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/wheat3dgs_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from wheat3dgs_tpu.config import ModelParams, OptimizationParams
     from wheat3dgs_tpu.io.synthetic import make_synthetic_colmap_scene
     from wheat3dgs_tpu.render.pipeline import RasterConfig, render_jit
@@ -57,12 +61,15 @@ def main():
 
     config = inference_config(RasterConfig(
         max_tiles_per_gauss=16, max_per_tile=512, tile_batch=128))
-    opt = OptimizationParams(iterations=iters, densify_from_iter=100,
+    # densify_from before warmup ends so the timed window has no first-time
+    # compiles for densify/capacity-growth shapes.
+    opt = OptimizationParams(iterations=iters, densify_from_iter=20,
                              densify_until_iter=iters - 100,
-                             densification_interval=100,
+                             densification_interval=40,
                              opacity_reset_interval=100_000)
     trainer = Trainer(scene.gaussians, opt, scene.cameras_extent,
                       sh_degree=3, config=config)
+    trainer.active_sh_degree = trainer.max_sh_degree  # bench at full SH
     gt_images = jnp.asarray(scene.data.train.images)
     n_train = gt_images.shape[0]
     cams = [scene.cam_arrays("train", i) for i in range(n_train)]
@@ -79,6 +86,8 @@ def main():
                   file=sys.stderr)
     # Hold SH degree fixed during the timed window (no new compiles).
     trainer.active_sh_degree = trainer.max_sh_degree
+    m = trainer.step(warmup, cams[0], gt_images[0], w, h)  # compile deg-3
+    jax.block_until_ready(m["loss"])
     t0 = time.time()
     timed = 0
     for it in range(warmup + 1, iters + 1):
