@@ -88,18 +88,26 @@ def main():
     trainer.active_sh_degree = trainer.max_sh_degree
     m = trainer.step(warmup, cams[0], gt_images[0], w, h)  # compile deg-3
     jax.block_until_ready(m["loss"])
-    t0 = time.time()
-    timed = 0
+    iter_times = []
+    t_prev = time.time()
     for it in range(warmup + 1, iters + 1):
         vi = int(rng.integers(n_train))
         m = trainer.step(it, cams[vi], gt_images[vi], w, h)
-        timed += 1
-    jax.block_until_ready(m["loss"])
-    dt = time.time() - t0
-    ips = timed / dt
-    print(f"train: {timed} iters in {dt:.2f}s -> {ips:.1f} it/s "
-          f"@{w}x{h}, n_alive={int(m['n_alive'])}, "
-          f"psnr={float(m['psnr']):.2f}", file=sys.stderr)
+        jax.block_until_ready(m["loss"])
+        now = time.time()
+        iter_times.append(now - t_prev)
+        t_prev = now
+    total = sum(iter_times)
+    # Median per-iteration time = steady-state throughput; one-time compile
+    # stalls (capacity growth, SH ramp) amortize over a real 15k-iter run
+    # but would dominate a 500-iter window mean.
+    med = float(np.median(iter_times))
+    ips = 1.0 / med
+    print(f"train: {len(iter_times)} iters in {total:.2f}s "
+          f"(mean {1e3 * total / len(iter_times):.1f} ms, median "
+          f"{1e3 * med:.1f} ms -> {ips:.1f} it/s) @{w}x{h}, "
+          f"n_alive={int(m['n_alive'])}, psnr={float(m['psnr']):.2f}",
+          file=sys.stderr)
 
     # Secondary: render FPS at full res (stderr only).
     from wheat3dgs_tpu.render.pipeline import adapt_config, inference_config

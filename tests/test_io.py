@@ -173,3 +173,27 @@ class TestCameras:
         assert w == 1600 and h == 1200 and s == 2.0
         (w, h), s = resolve_resolution(1600, 1200, 800)
         assert w == 800 and h == 600
+
+
+def test_colmap_text_roundtrip(tmp_path):
+    import numpy as np
+
+    from wheat3dgs_tpu.io import colmap
+
+    intr = {1: colmap.ColmapCamera(1, "PINHOLE", 64, 48,
+                                   np.array([50.0, 50.0, 32.0, 24.0]))}
+    extr = {1: colmap.ColmapImage(
+        1, np.array([1.0, 0, 0, 0]), np.array([0.1, 0.2, 0.3]), 1,
+        "img_01.png", np.array([[1.5, 2.5], [3.0, 4.0]]),
+        np.array([1, -1], np.int64))}
+    xyz = np.array([[0.0, 1.0, 2.0]])
+    rgb = np.array([[255, 128, 0]], np.uint8)
+    colmap.write_model(str(tmp_path), intr, extr, (xyz, rgb), ext=".txt")
+    intr2 = colmap.read_intrinsics_text(str(tmp_path / "cameras.txt"))
+    extr2 = colmap.read_extrinsics_text(str(tmp_path / "images.txt"))
+    xyz2, rgb2, _ = colmap.read_points3D_text(str(tmp_path / "points3D.txt"))
+    assert intr2[1].model == "PINHOLE" and intr2[1].width == 64
+    np.testing.assert_allclose(extr2[1].tvec, extr[1].tvec)
+    np.testing.assert_allclose(extr2[1].xys, extr[1].xys)
+    np.testing.assert_allclose(xyz2, xyz)
+    np.testing.assert_array_equal(rgb2, rgb)
