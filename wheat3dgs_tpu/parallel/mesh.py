@@ -48,6 +48,12 @@ def shard_states(mesh: Mesh, states: GaussianState) -> GaussianState:
     return jax.tree.map(lambda x: jax.device_put(x, sh), states)
 
 
+def shard_plot(mesh: Mesh, tree):
+    """(P, ...) arrays sharded on 'plot' only (replicated across 'view')."""
+    sh = NamedSharding(mesh, P("plot"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
 def shard_views(mesh: Mesh, tree):
     """(P, B, ...) camera/image arrays -> shard over ('plot', 'view')."""
     sh = NamedSharding(mesh, P("plot", "view"))
