@@ -113,3 +113,60 @@ def test_train_render_metrics_cli(scene_dir, tmp_path):
     results = json.load(open(os.path.join(model_dir, "results.json")))
     assert results["ours_120"]["PSNR"] > 20.0
     assert results["ours_120"]["SSIM"] > 0.6
+
+
+def test_blender_scene_reader(tmp_path):
+    """NeRF-synthetic transforms.json scenes load and train."""
+    import json
+
+    from PIL import Image
+
+    from wheat3dgs_tpu.config import ModelParams
+    from wheat3dgs_tpu.scene import Scene
+
+    src = tmp_path / "blender"
+    src.mkdir()
+    (src / "train").mkdir()
+    (src / "test").mkdir()
+    rng = np.random.default_rng(0)
+
+    def frames(split, n):
+        out = []
+        for i in range(n):
+            ang = 2 * np.pi * i / n
+            c2w = np.eye(4)
+            # camera on a ring looking inward (OpenGL convention: -z forward)
+            eye = np.array([2 * np.cos(ang), 2 * np.sin(ang), 1.0])
+            fwd = -eye / np.linalg.norm(eye)
+            up = np.array([0, 0, 1.0])
+            right = np.cross(fwd, up)
+            right /= np.linalg.norm(right)
+            up2 = np.cross(right, fwd)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = \
+                right, up2, -fwd, eye
+            img = (rng.random((24, 32, 4)) * 255).astype(np.uint8)
+            Image.fromarray(img, "RGBA").save(src / split / f"r_{i}.png")
+            out.append({"file_path": f"./{split}/r_{i}",
+                        "transform_matrix": c2w.tolist()})
+        return out
+
+    for split, n in (("train", 4), ("test", 2)):
+        with open(src / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.8, "frames": frames(split, n)}, f)
+
+    from wheat3dgs_tpu.io import dataset as ds
+
+    data = ds.read_blender_scene(str(src), num_random_points=1000)
+    assert len(data.train.metas) == 4
+    assert len(data.test.metas) == 2
+    assert data.train.images.shape == (4, 3, 24, 32)
+    assert data.point_cloud is not None                # random init cloud
+    assert len(data.point_cloud.points) == 1000
+    assert data.cameras_extent > 0
+    # Scene auto-detection picks the Blender reader for transforms dirs.
+    assert os.path.exists(src / "points3d.ply")
+    # Gaussians initialize from the random cloud.
+    state = G.create_from_pcd(data.point_cloud.points.astype(np.float32),
+                              data.point_cloud.colors.astype(np.float32),
+                              sh_degree=1, capacity=2048)
+    assert int(state.num_alive) == 1000

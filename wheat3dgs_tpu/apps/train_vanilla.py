@@ -59,7 +59,7 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
              pipe: cfg.PipelineParams, test_iterations, save_iterations,
              checkpoint_iterations, start_checkpoint: str | None,
              quiet: bool = False, raster_config: RasterConfig | None = None,
-             log_every: int = 100):
+             log_every: int = 100, profile: bool = False):
     model = prepare_output(model)
     scene = Scene(model, sh_degree=model.sh_degree)
     width, height = scene.image_size
@@ -84,10 +84,17 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
     t0 = time.time()
     window_t0, window_it = t0, first_iter
     ema_loss = None
+    profile_at = first_iter + 200 if profile else -1
     for it in range(first_iter + 1, opt.iterations + 1):
+        if it == profile_at:   # trace 20 steady-state steps (SURVEY.md §5.1)
+            jax.profiler.start_trace(os.path.join(model.model_path,
+                                                  "profile"))
         vi = rnd.randint(0, n_train - 1)  # sample w/ replacement (ref :65)
         metrics = trainer.step(it, scene.cam_arrays("train", vi),
                                gt_images[vi], width, height)
+        if it == profile_at + 20 and profile:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
         if it % log_every == 0 or it == opt.iterations:
             loss = float(metrics["loss"])
             ema_loss = loss if ema_loss is None else 0.6 * ema_loss + 0.4 * loss
@@ -137,6 +144,8 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="write a jax.profiler trace of 20 hot steps")
     parser.add_argument("--detect_anomaly", action="store_true")
     parser.add_argument("--max_per_tile", type=int, default=512)
     parser.add_argument("--max_tiles_per_gauss", type=int, default=16)
@@ -154,7 +163,8 @@ def main(argv=None):
     print(f"Optimizing {model.model_path or '(new output dir)'}")
     training(model, opt, pipe, set(args.test_iterations),
              set(args.save_iterations), set(args.checkpoint_iterations),
-             args.start_checkpoint, quiet=args.quiet, raster_config=rconf)
+             args.start_checkpoint, quiet=args.quiet, raster_config=rconf,
+             profile=args.profile)
     print("Training done.")
 
 

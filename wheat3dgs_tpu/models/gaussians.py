@@ -86,6 +86,8 @@ def init_state(params: GaussianParams, instance_id=None,
                capacity: Optional[int] = None) -> GaussianState:
     n = params.means.shape[0]
     cap = capacity or _round_capacity(int(n * 1.5))
+    if cap < n:
+        raise ValueError(f"capacity {cap} < {n} points")
 
     def pad(x):
         return jnp.pad(jnp.asarray(x), [(0, cap - n)] + [(0, 0)] * (x.ndim - 1))

@@ -50,8 +50,14 @@ def save_ply(state: GaussianState, path: str) -> None:
     write_ply(path, {k: np.asarray(v, "<f4") for k, v in props.items()})
 
 
-def load_ply(path: str, capacity: Optional[int] = None) -> Tuple[GaussianState, int]:
-    """Read a (reference or ours) point_cloud.ply -> (state, sh_degree)."""
+def load_ply(path: str, capacity: Optional[int] = None,
+             remove_features_rest: bool = False
+             ) -> Tuple[GaussianState, int]:
+    """Read a (reference or ours) point_cloud.ply -> (state, sh_degree).
+
+    remove_features_rest drops the SH rest bands for cheap viewing
+    (reference viewer fork, wheat3dgsviewer/scene/gaussian_model.py:267-279).
+    """
     v = read_ply(path)
     n = len(v["x"])
     means = np.stack([v["x"], v["y"], v["z"]], 1)
@@ -62,6 +68,9 @@ def load_ply(path: str, capacity: Optional[int] = None) -> Tuple[GaussianState, 
     sh_degree = int(round(np.sqrt(k1 + 1))) - 1
     assert (sh_degree + 1) ** 2 - 1 == k1, \
         f"{path}: {len(rest_names)} f_rest bands do not match an SH degree"
+    if remove_features_rest:
+        k1 = 0
+        sh_degree = 0
     if k1:
         rest = np.stack([v[nm] for nm in rest_names], 1).reshape(n, 3, k1)
         sh_rest = rest.transpose(0, 2, 1)

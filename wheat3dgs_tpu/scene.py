@@ -30,10 +30,25 @@ class Scene:
                  capacity: Optional[int] = None):
         self.model_path = model.model_path
         self.sh_degree = sh_degree
-        self.data: SceneData = read_colmap_scene(
-            model.source_path, images_dir=model.images,
-            eval_split=model.eval, resolution=model.resolution,
-            load_images=load_images)
+        # Auto-detect the scene type (reference Scene.__init__,
+        # scene/__init__.py:44-51: sparse/ => Colmap, transforms json =>
+        # Blender).
+        if os.path.exists(os.path.join(model.source_path, "sparse")):
+            self.data: SceneData = read_colmap_scene(
+                model.source_path, images_dir=model.images,
+                eval_split=model.eval, resolution=model.resolution,
+                load_images=load_images)
+        elif os.path.exists(os.path.join(model.source_path,
+                                         "transforms_train.json")):
+            from .io.dataset import read_blender_scene
+
+            self.data = read_blender_scene(
+                model.source_path, white_background=model.white_background,
+                eval_split=model.eval, resolution=model.resolution,
+                load_images=load_images)
+        else:
+            raise ValueError(
+                f"could not recognize scene type in {model.source_path}")
         self.cameras_extent = self.data.cameras_extent
 
         self.loaded_iter = None
