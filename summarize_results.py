@@ -14,7 +14,6 @@ from argparse import ArgumentParser
 from datetime import datetime
 from pathlib import Path
 
-import numpy as np
 import pandas as pd
 
 

@@ -12,7 +12,6 @@ from argparse import ArgumentParser
 import jax.numpy as jnp
 
 from wheat3dgs_tpu import config as cfg
-from wheat3dgs_tpu.render.pipeline import RasterConfig
 from wheat3dgs_tpu.scene import Scene
 from wheat3dgs_tpu.training import Trainer
 from wheat3dgs_tpu.utils.general import seed_everything

@@ -3,8 +3,6 @@
 On CPU the kernel runs in interpreter mode (slow — tiny scenes only);
 set WHEAT3DGS_TEST_TPU=1 to run compiled on the real chip."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,7 +1,5 @@
 """Multi-device sharding tests on the virtual 8-CPU mesh."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

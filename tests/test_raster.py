@@ -8,7 +8,6 @@ import pytest
 
 from wheat3dgs_tpu import testing
 from wheat3dgs_tpu.ops import binning, raster, reference_raster
-from wheat3dgs_tpu.ops.projection import Splats2D
 
 
 @pytest.fixture(scope="module")

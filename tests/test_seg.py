@@ -132,8 +132,6 @@ def test_run_3d_seg_end_to_end(trained_scene):
 
 def test_eval_obj_labels_depth_resolution():
     """Two heads occluding each other: the nearer one wins contested pixels."""
-    import dataclasses
-
     from wheat3dgs_tpu.models import gaussians as G
     from wheat3dgs_tpu.render.pipeline import RasterConfig
     from wheat3dgs_tpu.seg.eval import eval_obj_labels

@@ -106,3 +106,27 @@ def test_network_gui_camera_decode():
     np.testing.assert_allclose(out_cam["cam_center"], cam.cam_center,
                                atol=1e-5)
     assert keep is True and sm == 1.0
+
+
+def test_polygon_helpers():
+    from wheat3dgs_tpu.utils.geometry2d import (find_best_match,
+                                                intersection_area,
+                                                nearest_k_viewpoints)
+
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)
+    half = np.array([[1, 0], [3, 0], [3, 2], [1, 2]], float)
+    assert intersection_area(sq, half) == pytest_approx(2.0)
+    far = half + 10
+    _, idx = find_best_match(sq, [far, half])
+    assert idx == 1
+    _, idx = find_best_match(sq, [far, far + 5])   # no overlap -> nearest
+    assert idx == 0
+    centers = np.array([[0, 0, 0], [1, 0, 0], [5, 0, 0]], float)
+    got = nearest_k_viewpoints(np.array([0.9, 0, 0]), centers, k=2)
+    assert set(got.tolist()) == {0, 1}
+
+
+def pytest_approx(v):
+    import pytest
+
+    return pytest.approx(v, rel=1e-6)

@@ -9,7 +9,6 @@ import os
 import sys
 from argparse import ArgumentParser
 
-import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfg

@@ -14,7 +14,6 @@ import ast
 import dataclasses
 import os
 from argparse import ArgumentParser, Namespace
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,7 +15,6 @@ output is perfectly self-consistent and mask lifting has real 3D structure.
 from __future__ import annotations
 
 import os
-from typing import Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ Activations match: exp / sigmoid / L2-normalized quats
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

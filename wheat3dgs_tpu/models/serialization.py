@@ -23,7 +23,6 @@ import numpy as np
 
 from ..io.ply import read_ply, write_ply
 from .gaussians import GaussianParams, GaussianState, init_state
-from .optim import AdamState
 
 
 def save_ply(state: GaussianState, path: str) -> None:
