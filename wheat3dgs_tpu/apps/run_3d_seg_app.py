@@ -36,7 +36,8 @@ def build_context(scene: Scene, config: RasterConfig) -> SegContext:
             bboxes.append(np.zeros((0, 4), np.float32))
     return SegContext(state=scene.gaussians, cams=cams,
                       image_names=image_names, mask_paths=mask_paths,
-                      bboxes=bboxes, width=w, height=h, config=config)
+                      bboxes=bboxes, width=w, height=h, config=config,
+                      images=group.images)
 
 
 def main(argv=None):

@@ -101,6 +101,7 @@ class SegContext:
     width: int
     height: int
     config: RasterConfig
+    images: Optional[np.ndarray] = None   # (B, 3, H, W) for overlay jpgs
 
 
 def _cam_slice(cams, idx):
@@ -314,9 +315,17 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
                 state, *eval_cams, jnp.asarray(used_mask), width=ctx.width,
                 height=ctx.height, config=ctx.config))
             views += list(zip(eval_names, ev_alphas))
-        for vname, a in views:
-            seg_maps[vname][a > 0.5] = which
+        for vi_, (vname, a) in enumerate(views):
+            pred_seg = a > 0.5
+            seg_maps[vname][pred_seg] = which
             save_pt(seg_maps[vname], os.path.join(seg_dir, f"{vname}.pt"))
+            # Per-view inspection overlays for this head
+            # (reference vis_image_w_overlay, run_3d_seg.py:364-372).
+            if ctx.images is not None and vi_ < len(ctx.images):
+                image_ops.save_overlay(
+                    ctx.images[vi_], pred_seg,
+                    os.path.join(this_img_dir, f"{vname}.jpg"),
+                    resize_factor=4)
 
         if exp_id % 5 == 0:
             save_ply(state, os.path.join(base, "gaussians.ply"))
