@@ -79,6 +79,13 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
     n_train = gt_images.shape[0]
     log_path = os.path.join(model.model_path, "metrics.jsonl")
     log_f = open(log_path, "a")
+    tb = None
+    try:  # TensorBoard scalars like the reference (train_vanilla_3dgs.py:145-180)
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(model.model_path)
+    except Exception:
+        pass
 
     rnd = random.Random(0)
     t0 = time.time()
@@ -106,6 +113,11 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
                    "n_alive": int(metrics["n_alive"]), "iters_per_sec": ips}
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
+            if tb is not None:
+                tb.add_scalar("train_loss_patches/total_loss", loss, it)
+                tb.add_scalar("train/psnr", rec["psnr"], it)
+                tb.add_scalar("total_points", rec["n_alive"], it)
+                tb.add_scalar("iter_time", 1e3 / max(ips, 1e-9), it)
             if not quiet:
                 print(f"[it {it:6d}] loss {loss:.4f} psnr {rec['psnr']:.2f} "
                       f"alive {rec['n_alive']} {ips:.1f} it/s", flush=True)
@@ -116,6 +128,8 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
                     print(f"[it {it}] TEST psnr {tp:.2f}", flush=True)
                 log_f.write(json.dumps({"iter": it, "test_psnr": tp}) + "\n")
                 log_f.flush()
+                if tb is not None:
+                    tb.add_scalar("test/psnr", tp, it)
         if it in save_iterations:
             scene.save(it, trainer.state)
         if it in checkpoint_iterations:
@@ -124,6 +138,8 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
     if opt.iterations not in save_iterations:
         scene.save(opt.iterations, trainer.state)
     log_f.close()
+    if tb is not None:
+        tb.close()
     total = time.time() - t0
     if not quiet:
         print(f"Training complete in {total:.1f}s "

@@ -107,6 +107,16 @@ def count_tiles(splats: Splats2D, width: int, height: int, tile: int = TILE,
 
 
 MAX_PER_TILE_LADDER = (128, 256, 512, 1024, 2048, 4096)
+MTPG_LADDER = (4, 8, 16, 32)
+
+
+def pick_mtpg(p99_area: int, ladder=MTPG_LADDER) -> int:
+    """Expansion cap covering the 99th-percentile splat tile footprint
+    (outliers get center-cropped by capped_rect — graceful)."""
+    for rung in ladder:
+        if rung >= p99_area:
+            return rung
+    return ladder[-1]
 
 
 def pick_max_per_tile(max_count: int, headroom: float = 1.3,

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from .config import OptimizationParams
 from .models import gaussians as G
 from .models.optim import adam_step
-from .ops.binning import count_tiles, pick_max_per_tile
+from .ops.binning import (capped_rect, count_tiles, num_tiles, pick_mtpg,
+                          pick_max_per_tile)
 from .ops.losses import l1_loss, ssim
 from .ops.projection import project_gaussians
 from .render.pipeline import RasterConfig, render
@@ -46,7 +47,16 @@ def occupancy_probe(state: "G.GaussianState", w2c, full_proj, cam_center,
         state.params.means, state.scales(), state.params.quats,
         state.opacity(), w2c, full_proj, cam_center, tanfovx, tanfovy,
         width, height, colors=jnp.zeros((state.capacity, 1), jnp.float32))
-    return count_tiles(splats, width, height, tile, mtpg).max()
+    max_count = count_tiles(splats, width, height, tile, mtpg).max()
+    # p99 of per-splat tile footprints (uncapped spans) for the mtpg ladder.
+    tiles_x, tiles_y = num_tiles(width, height, tile)
+    _, _, sx, sy, _ = capped_rect(splats, tiles_x, tiles_y, tile, 1 << 30)
+    areas = jnp.where(splats.radius > 0, sx * sy, 0)
+    visible = (splats.radius > 0).sum()
+    p99 = jnp.sort(areas)[jnp.minimum(
+        areas.shape[0] - 1,
+        areas.shape[0] - 1 - (visible // 100).astype(jnp.int32))]
+    return max_count, jnp.maximum(p99, 1)
 
 
 def lr_tree(params: G.GaussianParams, it, opt: OptimizationParams, extent):
@@ -189,12 +199,15 @@ class Trainer:
     def _refresh_occupancy(self, cam, width: int, height: int) -> None:
         """Re-pick max_per_tile from real occupancy (called at start + after
         every densify/prune/capacity event, NOT per step)."""
-        max_count = int(occupancy_probe(
+        max_count, p99_area = occupancy_probe(
             self.state, *cam, width=width, height=height,
-            tile=self.config.tile, mtpg=self.config.max_tiles_per_gauss))
-        mpt = pick_max_per_tile(max_count, headroom=1.5)
-        if mpt != self.config.max_per_tile:
-            self.config = dataclasses.replace(self.config, max_per_tile=mpt)
+            tile=self.config.tile, mtpg=self.config.max_tiles_per_gauss)
+        mpt = pick_max_per_tile(int(max_count), headroom=1.5)
+        mtpg = pick_mtpg(int(p99_area))
+        if (mpt != self.config.max_per_tile
+                or mtpg != self.config.max_tiles_per_gauss):
+            self.config = dataclasses.replace(
+                self.config, max_per_tile=mpt, max_tiles_per_gauss=mtpg)
         self._occupancy_due = False
 
     def step(self, it: int, cam, gt_image, width: int, height: int):
