@@ -37,7 +37,7 @@ def save_pt(obj: np.ndarray, path: str) -> None:
     reference tooling."""
     import torch
 
-    torch.save(torch.from_numpy(np.asarray(obj)), path)
+    torch.save(torch.from_numpy(np.ascontiguousarray(obj)), path)
 
 
 def load_pt(path: str) -> np.ndarray:
