@@ -105,7 +105,6 @@ def training(source_paths, model_base, opt: cfg.OptimizationParams,
     densify_v = {0.0: make_densify(0.0), 20.0: make_densify(20.0)}
     reset_v = jax.jit(jax.vmap(G.reset_opacity))
 
-    step = multi_plot_step(sh_degree, w, h, opt, config)
     step_cache = {}
 
     rng = np.random.default_rng(seed)

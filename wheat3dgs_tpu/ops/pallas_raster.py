@@ -368,8 +368,7 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
     raw per-tile images (T, P, C+2)."""
     p = tile * tile
 
-    def run_fwd(packed, idx_table, starts, counts):
-        entries_lane = _entry_table(packed, idx_table).T
+    def run_fwd(entries_lane, starts, counts):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_total,),
@@ -391,16 +390,18 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
 
     @jax.custom_vjp
     def comp(packed, idx_table, starts, counts, inv_map):
-        return run_fwd(packed, idx_table, starts, counts)
+        return run_fwd(_entry_table(packed, idx_table).T, starts, counts)
 
     def comp_fwd(packed, idx_table, starts, counts, inv_map):
-        out = run_fwd(packed, idx_table, starts, counts)
-        return out, (packed, idx_table, starts, counts, inv_map, out)
+        # The entry table is both the forward input and the backward's replay
+        # data — keep it as a residual instead of re-gathering E_pad rows.
+        entries_lane = _entry_table(packed, idx_table).T
+        out = run_fwd(entries_lane, starts, counts)
+        return out, (entries_lane, idx_table, starts, counts, inv_map, out)
 
     def comp_bwd(res, g):
-        packed, idx_table, starts, counts, inv_map, out = res
+        entries_lane, idx_table, starts, counts, inv_map, out = res
         e_pad = idx_table.shape[0]
-        entries_lane = _entry_table(packed, idx_table).T
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_total,),
