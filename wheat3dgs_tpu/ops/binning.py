@@ -107,7 +107,9 @@ def count_tiles(splats: Splats2D, width: int, height: int, tile: int = TILE,
 
 
 MAX_PER_TILE_LADDER = (128, 256, 512, 1024, 2048, 4096)
-MTPG_LADDER = (4, 8, 16, 32)
+# Capped at 16: rungs above it cost more in sort/gather than the cropped
+# >p99 outliers cost in quality (they are transient, low-opacity splats).
+MTPG_LADDER = (4, 8, 16)
 
 
 def pick_mtpg(p99_area: int, ladder=MTPG_LADDER) -> int:

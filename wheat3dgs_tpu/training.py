@@ -185,6 +185,7 @@ class Trainer:
                  white_background: bool = False,
                  adaptive_occupancy: bool = True):
         self.state = state
+        self.white_background = white_background
         self.opt = opt
         self.extent = float(cameras_extent)
         self.max_sh_degree = sh_degree
@@ -216,10 +217,14 @@ class Trainer:
             self.active_sh_degree += 1  # oneupSHdegree (train loop :61-62)
         if self.adaptive_occupancy and self._occupancy_due:
             self._refresh_occupancy(cam, width, height)
+        bg = self.bg
+        if self.opt.random_background:   # reference train loop :67
+            self.rng, sub = jax.random.split(self.rng)
+            bg = jax.random.uniform(sub, (3,), jnp.float32)
         w2c, full_proj, cam_center, tfx, tfy = cam
         self.state, metrics = train_step(
             self.state, w2c, full_proj, cam_center, tfx, tfy, gt_image,
-            self.bg, jnp.int32(it), sh_degree=self.active_sh_degree,
+            bg, jnp.int32(it), sh_degree=self.active_sh_degree,
             width=width, height=height, opt=self.opt, config=self.config,
             extent=self.extent)
         self.maybe_densify(it)
@@ -241,6 +246,9 @@ class Trainer:
                     self.state = G.grow_capacity(
                         self.state, self.state.capacity * 2)
                 self._occupancy_due = True
-            if it % opt.opacity_reset_interval == 0 and it > 0:
+            # Reset schedule incl. the white-background early reset
+            # (reference train_vanilla_3dgs.py:109-110).
+            if (it % opt.opacity_reset_interval == 0 and it > 0) or (
+                    self.white_background and it == opt.densify_from_iter):
                 self.state = G.reset_opacity(self.state)
         return info
