@@ -170,3 +170,25 @@ def test_blender_scene_reader(tmp_path):
                               data.point_cloud.colors.astype(np.float32),
                               sh_degree=1, capacity=2048)
     assert int(state.num_alive) == 1000
+
+
+def test_checkpoint_resume_cli(scene_dir, tmp_path):
+    """--start_checkpoint resumes training incl. Adam state
+    (reference train_vanilla_3dgs.py --start_checkpoint -> restore())."""
+    from wheat3dgs_tpu.apps.train_vanilla import main as train_main
+
+    model_dir = str(tmp_path / "model")
+    common = ["-s", scene_dir, "-m", model_dir,
+              "--densify_from_iter", "1000", "--test_iterations", "-1",
+              "--max_per_tile", "128", "--sh_degree", "1", "--quiet"]
+    train_main(common + ["--iterations", "40", "--save_iterations", "-1",
+                         "--checkpoint_iterations", "40"])
+    ck = os.path.join(model_dir, "chkpnt40.npz")
+    assert os.path.exists(ck)
+    train_main(common + ["--iterations", "60", "--save_iterations", "60",
+                         "--start_checkpoint", ck])
+    assert os.path.exists(os.path.join(
+        model_dir, "point_cloud", "iteration_60", "point_cloud.ply"))
+    recs = [json.loads(l) for l in
+            open(os.path.join(model_dir, "metrics.jsonl"))]
+    assert recs[-1]["iter"] == 60
