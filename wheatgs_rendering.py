@@ -11,7 +11,7 @@ from argparse import ArgumentParser
 import numpy as np
 
 from wheat3dgs_tpu import config as cfg
-from wheat3dgs_tpu.render.pipeline import RasterConfig
+from wheat3dgs_tpu.render.pipeline import RasterConfig, inference_config
 from wheat3dgs_tpu.scene import Scene
 from wheat3dgs_tpu.viewer import ViewerState, serve
 
@@ -60,7 +60,7 @@ def build_viewer(argv=None, with_overlay=True):
         height=args.height, obj_labels=obj_labels, camera_names=names,
         camera_poses=poses,
         scale_filter=None if args.no_scale_filter else 0.1,
-        config=RasterConfig())
+        config=inference_config(RasterConfig()))
     return vs, args
 
 
