@@ -116,7 +116,7 @@ def _entry_table(packed: jnp.ndarray, idx_table: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((idx_table >= 0)[:, None], rows, 0.0)
 
 
-def _fwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
+def _fwd_kernel(tiles_x: int, tile: int):
     p = tile * tile
 
     def kernel(starts_ref, counts_ref, lane_hbm, out_ref, lane_buf, sem_l,
@@ -213,33 +213,32 @@ def _fwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
                 dma(1 - s0, starts_ref[t + 1]).start()
                 slot_ref[0] = 1 - s0
 
-        t_final = jnp.exp(tfin)                               # (P, 1)
-        # bg folded channel-by-channel as scalar constants (vector constants
-        # cannot be captured by a Pallas kernel).
-        for ci in range(n_color):
-            out_ref[0, :, ci:ci + 1] = (acc[:, 8 + ci:9 + ci]
-                                        + t_final * float(bg[ci]))
-        out_ref[0, :, n_color:n_color + 1] = acc[:, 6:7]      # depth
-        out_ref[0, :, n_color + 1:n_color + 2] = 1.0 - t_final
+        # Emit the FULL feature accumulator + final transmittance: the
+        # backward recovers its suffix total A = g . acc exactly from this
+        # (no replay pass), and the caller assembles color/depth/alpha
+        # (background is applied outside the kernel, differentiably).
+        out_ref[0, :, 0:FEAT] = acc
+        out_ref[0, :, FEAT:FEAT + 1] = jnp.exp(tfin)
 
     return kernel
 
 
-def _bwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
+def _bwd_kernel(tiles_x: int, tile: int):
     """Gradient replay: one front-to-back pass per tile.
 
-    Per-pixel upstream grads g (color, depth, alpha) and the precomputed
-    total weighted sum A = sum_k w_k u_k let every chunk compute the suffix
-    sums it needs from a running prefix:
-        u_k      = g . [color_k - bg, depth_k, 1]
-        dL/dw_k  = u_k
-        dL/da_k  = T_before_k u_k - (A - prefix_k) / (1 - a_k)
-    then chain to conic/xy/opacity. Entry-gradient rows live in tile-disjoint
+    The cotangent g arrives in the RAW output layout (acc FEAT cols +
+    t_final), so its first FEAT columns ARE the per-feature weight
+    gradients, and the suffix machinery reduces to:
+        u_k      = dL/dw_k = g[:, :FEAT] . e_k
+        dL/da_k  = T_b_k u_k - (A - prefix_k)/(1-a_k) - c2/(1-a_k)
+    where A = g . acc (computed exactly in XLA from the stored forward
+    accumulator — no replay pass) and c2 = g_tfinal * t_final is the
+    final-transmittance chain. Entry-gradient rows live in tile-disjoint
     segments, so writes need no atomics (unlike the CUDA backward).
     """
     p = tile * tile
 
-    def kernel(starts_ref, counts_ref, lane_hbm, g_ref, out_hbm,
+    def kernel(starts_ref, counts_ref, lane_hbm, g_ref, a_ref, out_hbm,
                lane_buf, dent_buf, sem_in, sem_out):
         t = pl.program_id(0)
         start = starts_ref[t]
@@ -253,18 +252,9 @@ def _bwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
         py = (ty + pix_i // tile).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        g = g_ref[0]                                          # (P, C+2)
-        gdep = g[:, n_color:n_color + 1]                      # (P, 1)
-        galpha = g[:, n_color + 1:n_color + 2]
-        # gmat rows match the packed FEAT layout (col 6 = depth, 8+ = color).
-        parts = [jnp.zeros((p, 6), jnp.float32), gdep,
-                 jnp.zeros((p, 1), jnp.float32), g[:, 0:n_color]]
-        if FEAT - 8 - n_color:
-            parts.append(jnp.zeros((p, FEAT - 8 - n_color), jnp.float32))
-        gmat = jnp.concatenate(parts, axis=1)                 # (P, FEAT)
-        u_const = galpha
-        for ci in range(n_color):
-            u_const = u_const - g[:, ci:ci + 1] * float(bg[ci])
+        gmat = g_ref[0][:, 0:FEAT]                            # (P, FEAT)
+        a_total = a_ref[0][:, 0:1]                            # (P, 1)
+        c2 = a_ref[0][:, 1:2]                                 # g_tfin*t_final
 
         def alpha_w_u(j, logt):
             """Shared replay math for one chunk (assumes entry chunk j is in
@@ -290,7 +280,7 @@ def _bwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
             w = jnp.where(include, alpha * t_before, 0.0)
             u = jax.lax.dot_general(
                 gmat, e, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + u_const  # (P, CHUNK)
+                preferred_element_type=jnp.float32)            # (P, CHUNK)
             return (e, dx, dy, power, ep, raw, alpha, live, t_before,
                     include, w, u, log_t_after)
 
@@ -301,20 +291,6 @@ def _bwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
             dma_in.start()
             dma_in.wait()
             return off
-
-        # Pass 1: A = sum_k w_k u_k in the SAME arithmetic as pass 2 —
-        # reconstructing A from the forward outputs leaks O(1e-3) error into
-        # every suffix term otherwise.
-        def pass1(j, carry):
-            logt, a_tot = carry
-            load(j)
-            *_, w, u, log_t_after = alpha_w_u(j, logt)
-            return (log_t_after[:, CHUNK - 1:CHUNK],
-                    a_tot + jnp.sum(w * u, axis=1, keepdims=True))
-
-        _, a_total = jax.lax.fori_loop(
-            0, nc, pass1,
-            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
 
         def chunk_body(j, carry):
             logt, prefix_carry = carry
@@ -327,8 +303,9 @@ def _bwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
                 pu, tri, preferred_element_type=jnp.float32)   # (P, CHUNK)
             suffix = a_total - prefix
             grad_ok = live & include & (raw < ALPHA_MAX)
-            dalpha = jnp.where(grad_ok,
-                               t_before * u - suffix / (1.0 - alpha), 0.0)
+            dalpha = jnp.where(
+                grad_ok,
+                t_before * u - (suffix + c2) / (1.0 - alpha), 0.0)
             dpow = dalpha * alpha                              # (P, CHUNK)
             dop = dalpha * jnp.where(grad_ok, ep, 0.0)
 
@@ -362,10 +339,13 @@ def _bwd_kernel(tiles_x: int, tile: int, n_color: int, bg: tuple):
 
 
 @functools.lru_cache(maxsize=64)
-def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
+def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
                    interpret: bool):
     """custom_vjp'd (packed, idx_table, starts, counts, inv_map) ->
-    raw per-tile images (T, P, C+2)."""
+    raw per-tile accumulators (T, P, FEAT+1): full feature sums + final
+    transmittance. Background is applied by the caller (differentiable XLA),
+    which keeps the kernels bg-free and lets the backward recover its suffix
+    total A = g . acc without a replay pass."""
     p = tile * tile
 
     def run_fwd(entries_lane, starts, counts):
@@ -373,7 +353,8 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
             num_scalar_prefetch=2,
             grid=(t_total,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((1, p, c + 2), lambda t, *_: (t, 0, 0),
+            out_specs=pl.BlockSpec((1, p, FEAT + 1),
+                                   lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
@@ -382,9 +363,10 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
             ],
         )
         return pl.pallas_call(
-            _fwd_kernel(tiles_x, tile, c, bg),
+            _fwd_kernel(tiles_x, tile),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((t_total, p, c + 2), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((t_total, p, FEAT + 1),
+                                           jnp.float32),
             interpret=interpret,
         )(starts, counts, entries_lane)
 
@@ -402,13 +384,22 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
     def comp_bwd(res, g):
         entries_lane, idx_table, starts, counts, inv_map, out = res
         e_pad = idx_table.shape[0]
+        # g is the cotangent of the RAW output (acc cols + t_final).
+        # Suffix total per pixel, EXACTLY linear in the stored accumulator:
+        # A = sum_k w_k u_k = g[:, :FEAT] . acc; plus the t_final chain
+        # constant c2 = g_tfin * t_final.
+        a_total = (g[..., :FEAT] * out[..., :FEAT]).sum(-1, keepdims=True)
+        c2 = g[..., FEAT:FEAT + 1] * out[..., FEAT:FEAT + 1]
+        aux = jnp.concatenate([a_total, c2], axis=-1)         # (T, P, 2)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_total,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),        # entries
-                pl.BlockSpec((1, p, c + 2), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, p, FEAT + 1), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),       # g
+                pl.BlockSpec((1, p, 2), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),       # [A, c2]
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dentries lane
             scratch_shapes=[
@@ -419,11 +410,11 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int, bg: tuple,
             ],
         )
         dent_lane = pl.pallas_call(
-            _bwd_kernel(tiles_x, tile, c, bg),
+            _bwd_kernel(tiles_x, tile),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((FEAT, e_pad), jnp.float32),
             interpret=interpret,
-        )(starts, counts, entries_lane, g)
+        )(starts, counts, entries_lane, g, aux)
 
         # Duplicate-free reduction back to per-splat grads: each splat's
         # <= mtpg entry rows are known a priori (inv_map), so the transpose
@@ -454,9 +445,6 @@ def rasterize_pallas(
     """Differentiable Pallas rasterization (custom_vjp backward kernel)."""
     c = splats.color.shape[1]
     assert c <= FEAT - 8, f"at most {FEAT - 8} color channels"
-    # The kernel composites over black; bg is applied outside via the alpha
-    # channel (color + (1 - alpha) * bg), so bg may be a traced array.
-    bg_t = (0.0,) * c
     tiles_x, tiles_y = num_tiles(width, height, tile)
     t_total = tiles_x * tiles_y
     p = tile * tile
@@ -465,7 +453,7 @@ def rasterize_pallas(
         jax.lax.stop_gradient(splats), width, height, tile,
         max_tiles_per_gauss)
     packed = pack_splats(splats)
-    comp = _composite_fns(tiles_x, t_total, tile, c, bg_t, interpret)
+    comp = _composite_fns(tiles_x, t_total, tile, c, interpret)
     out = comp(packed, idx_table, starts, counts, inv_map)
 
     def assemble(flat, channels):
@@ -474,10 +462,13 @@ def rasterize_pallas(
             tiles_y * tile, tiles_x * tile, channels)
         return img[:height, :width]
 
-    img = assemble(out.reshape(t_total, p, c + 2), c + 2)
-    color = img[..., :c].transpose(2, 0, 1)
-    alpha = img[..., c + 1]
+    # Raw layout: packed feature accumulator (FEAT cols) + final
+    # transmittance. The kernel composites over black; bg is applied here
+    # (differentiable XLA), so bg may be a traced array.
+    img = assemble(out.reshape(t_total, p, FEAT + 1), FEAT + 1)
+    color = img[..., 8:8 + c].transpose(2, 0, 1)
+    alpha = 1.0 - img[..., FEAT]
     if bg is not None:
         color = color + (1.0 - alpha)[None] * jnp.asarray(bg)[:, None, None]
-    return RasterOut(color=color, depth=img[..., c], alpha=alpha,
+    return RasterOut(color=color, depth=img[..., 6], alpha=alpha,
                      radii=splats.radius)
