@@ -6,19 +6,24 @@ tile's real entry list (mean occupancy is typically 10-60x below the max):
 
 - XLA prologue: EWA projection -> packed rows -> (tile, depth) two-key sort
   -> per-entry gather into a depth-sorted, tile-contiguous entry table;
-- Pallas kernel, grid = one step per 16x16 tile, per-tile entry counts and
-  segment starts as prefetched scalars:
+- forward Pallas kernel, grid = one step per tile, per-tile entry counts
+  and CHUNK-aligned segment starts as prefetched scalars:
     while chunks remain AND transmittance > eps:
-      DMA the next 128 entries (lane-major (16, 128) for the VPU alpha math
-      and row-major (128, 16) for the MXU feature matmul),
+      DMA the next 128 lane-major entries (cross-tile prefetched),
       alpha   = exp(conic quadratic) rules as renderCUDA,
       logT    = running + log1p(-alpha) @ upper-triangular (MXU),
-      acc    += [alpha * T_before] @ [color | depth | 1]   (MXU);
-  i.e. front-to-back compositing with the CUDA early-termination (T < 1e-4),
-  computed 128 entries at a time.
+      acc    += weights @ entries  (MXU, B-transposed contraction);
+  emits the full (FEAT) accumulator + final transmittance so the backward
+  can recover its suffix totals exactly;
+- backward Pallas kernel (custom_vjp): ONE front-to-back replay per tile
+  computing dL/dalpha from suffix sums (A - prefix), chaining to
+  conic/xy/opacity, writing per-entry gradients into tile-disjoint segments
+  (no atomics), then a duplicate-free gather-reduction via the inverse
+  expansion map.
 
 Numerics match ops/raster.py's composite_packed (same log-space
-transmittance); tests compare both against the naive golden model.
+transmittance); tests compare both against the naive golden model and the
+two backends' gradients against each other.
 """
 
 from __future__ import annotations
@@ -44,11 +49,13 @@ LOG_T_EPS = math.log(T_EPS)
 
 def _sorted_entries(splats: Splats2D, width: int, height: int, tile: int,
                     max_tiles_per_gauss: int):
-    """(tile, depth)-sorted entry table + per-tile segments.
+    """(tile, depth)-sorted, CHUNK-aligned entry segments.
 
-    Returns (entries_row (E, FEAT), entries_lane (FEAT, E), starts (T,),
-    counts (T,), sorted_gauss (E,)). E = N * max_tiles_per_gauss; invalid
-    entries sort to the end and are never visited (counts exclude them).
+    Returns (idx_table (E_pad,), padded_starts (T,), counts (T,),
+    inv_map (N, mtpg)). idx_table maps padded entry rows -> gaussian index
+    (-1 for padding); inv_map is the inverse (expansion slot -> entry row,
+    e_pad sentinel when unused) used by the backward's duplicate-free
+    reduction.
     """
     n = splats.xy.shape[0]
     tiles_x, tiles_y = num_tiles(width, height, tile)
