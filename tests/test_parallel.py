@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 from wheat3dgs_tpu.config import OptimizationParams
-from wheat3dgs_tpu.models import gaussians as G
 from wheat3dgs_tpu.parallel import mesh as M
 from wheat3dgs_tpu.render.pipeline import RasterConfig
 from wheat3dgs_tpu.training import train_step, train_step_views

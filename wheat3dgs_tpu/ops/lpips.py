@@ -85,7 +85,6 @@ def convert_torch_weights(out_path: str) -> None:
     """Convert torchvision VGG16 + lpips lin weights to our npz (needs both
     packages + their downloaded weights; run outside the sandbox)."""
     import lpips as lpips_pkg  # type: ignore
-    import torch
 
     net = lpips_pkg.LPIPS(net="vgg")
     arrs = {}

@@ -18,7 +18,6 @@ across views (run_3d_seg.py:95-97).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import TILE, num_tiles, tile_rect
+from .binning import TILE, num_tiles
 from .projection import Splats2D
 from .raster import ALPHA_MAX, ALPHA_MIN, T_EPS, RasterOut, pack_splats
 

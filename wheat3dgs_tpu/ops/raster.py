@@ -14,7 +14,6 @@ ops/reference_raster.py for the golden model and the constant definitions).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..models.gaussians import GaussianState
 from ..ops import raster as raster_ops
-from ..ops.projection import Splats2D, project_gaussians
+from ..ops.projection import project_gaussians
 
 
 @dataclasses.dataclass(frozen=True)
