@@ -19,3 +19,28 @@ rendering, and per-head morphology — designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import wheat3dgs_tpu` light — the heavy
+    jax imports only load when first used)."""
+    lazy = {
+        "Scene": ("wheat3dgs_tpu.scene", "Scene"),
+        "Trainer": ("wheat3dgs_tpu.training", "Trainer"),
+        "train_step": ("wheat3dgs_tpu.training", "train_step"),
+        "render": ("wheat3dgs_tpu.render.pipeline", "render"),
+        "render_jit": ("wheat3dgs_tpu.render.pipeline", "render_jit"),
+        "RasterConfig": ("wheat3dgs_tpu.render.pipeline", "RasterConfig"),
+        "GaussianState": ("wheat3dgs_tpu.models.gaussians", "GaussianState"),
+        "GaussianParams": ("wheat3dgs_tpu.models.gaussians", "GaussianParams"),
+        "create_from_pcd": ("wheat3dgs_tpu.models.gaussians",
+                            "create_from_pcd"),
+        "save_ply": ("wheat3dgs_tpu.models.serialization", "save_ply"),
+        "load_ply": ("wheat3dgs_tpu.models.serialization", "load_ply"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'wheat3dgs_tpu' has no attribute {name!r}")
