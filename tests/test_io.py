@@ -197,3 +197,59 @@ def test_colmap_text_roundtrip(tmp_path):
     np.testing.assert_allclose(extr2[1].xys, extr[1].xys)
     np.testing.assert_allclose(xyz2, xyz)
     np.testing.assert_array_equal(rgb2, rgb)
+
+
+def test_depth_scale_alignment(tmp_path):
+    """make_depth_scales recovers a known affine inverse-depth alignment."""
+    import json
+
+    from PIL import Image
+
+    from wheat3dgs_tpu.io import colmap
+    from wheat3dgs_tpu.io.depth_scale import make_depth_scales
+    from wheat3dgs_tpu.utils import graphics
+
+    rng = np.random.default_rng(0)
+    # one camera at origin looking +z, 3D points in front
+    n = 200
+    xyz = np.stack([rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+                    rng.uniform(2.0, 6.0, n)], 1)
+    fx = fy = 100.0
+    w, h = 128, 96
+    uv = np.stack([fx * xyz[:, 0] / xyz[:, 2] + w / 2,
+                   fy * xyz[:, 1] / xyz[:, 2] + h / 2], 1)
+    keep = ((uv[:, 0] > 1) & (uv[:, 0] < w - 2)
+            & (uv[:, 1] > 1) & (uv[:, 1] < h - 2))
+    xyz, uv = xyz[keep], uv[keep]
+
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    intr = {1: colmap.ColmapCamera(1, "PINHOLE", w, h,
+                                   np.array([fx, fy, w / 2, h / 2]))}
+    extr = {1: colmap.ColmapImage(
+        1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "img.png",
+        uv, np.arange(1, len(xyz) + 1))}
+    colmap.write_model(str(sparse), intr, extr,
+                       (xyz, np.zeros((len(xyz), 3), np.uint8)))
+
+    # mono inverse depth = 0.5 * true inverse depth + 0.002, as 16-bit png
+    depths = tmp_path / "depths"
+    depths.mkdir()
+    inv_map = np.zeros((h, w), np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # dense synthetic inverse-depth field from a smooth function
+    z_field = 2.0 + 4.0 * (xx / w)
+    inv_map = 0.5 * (1.0 / z_field) + 0.002
+    Image.fromarray((inv_map * 2 ** 16).astype(np.uint16)).save(
+        depths / "img.png")
+    # points must match the field: z = z_field at uv
+    xyz[:, 2] = 2.0 + 4.0 * (uv[:, 0] / w)
+    colmap.write_points3D_binary(str(sparse / "points3D.bin"), xyz,
+                                 np.zeros((len(xyz), 3), np.uint8))
+
+    params = make_depth_scales(str(tmp_path), str(depths))
+    assert "img" in params
+    # invcolmap = 2 * invmono - 0.004  =>  scale ~ 2, offset ~ -0.004
+    assert params["img"]["scale"] == pytest.approx(2.0, rel=0.05)
+    assert params["img"]["offset"] == pytest.approx(-0.004, abs=5e-4)
+    assert json.load(open(sparse / "depth_params.json"))

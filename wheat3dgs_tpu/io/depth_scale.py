@@ -47,7 +47,7 @@ def _scales_for_image(meta, cam, points3d_ordered, depths_dir):
     valid = ((uv[..., 0] >= 0) & (uv[..., 1] >= 0)
              & (uv[..., 0] < cam.width * s) & (uv[..., 1] < cam.height * s)
              & (inv_colmap > 0))
-    if valid.sum() > 10 and inv_colmap.ptp() > 1e-3:
+    if valid.sum() > 10 and np.ptp(inv_colmap) > 1e-3:
         uv = uv[valid]
         ic = inv_colmap[valid]
         # bilinear sample of the mono inverse-depth at the track locations
