@@ -110,7 +110,10 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
             window_t0, window_it = now, it
             rec = {"iter": it, "loss": loss, "ema_loss": ema_loss,
                    "psnr": float(metrics["psnr"]),
-                   "n_alive": int(metrics["n_alive"]), "iters_per_sec": ips}
+                   "n_alive": int(metrics["n_alive"]), "iters_per_sec": ips,
+                   "capacity": trainer.state.capacity,
+                   "max_per_tile": trainer.config.max_per_tile,
+                   "mtpg": trainer.config.max_tiles_per_gauss}
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
             if tb is not None:
