@@ -89,6 +89,8 @@ def make_synthetic_colmap_scene(
     seed: int = 0,
     point_jitter: float = 0.02,
     with_masks: bool = True,
+    cam_radius: float = 2.2,
+    cam_elev_deg: float = 40.0,
 ) -> dict:
     """Create the dataset on disk; returns a manifest dict.
 
@@ -140,7 +142,8 @@ def make_synthetic_colmap_scene(
     sparse = os.path.join(out_dir, "sparse", "0")
     os.makedirs(sparse, exist_ok=True)
 
-    cams = _ring_cameras(n_cams, radius=2.2, elev_deg=40.0)
+    cams = _ring_cameras(n_cams, radius=cam_radius,
+                         elev_deg=cam_elev_deg)
     intr = {1: colmap.ColmapCamera(1, "PINHOLE", width, height,
                                    np.array([fx, fy, width / 2, height / 2]))}
     extr = {}
