@@ -203,8 +203,13 @@ class Trainer:
         max_count, p99_area = occupancy_probe(
             self.state, *cam, width=width, height=height,
             tile=self.config.tile, mtpg=self.config.max_tiles_per_gauss)
-        mpt = pick_max_per_tile(int(max_count), headroom=1.5)
         mtpg = pick_mtpg(int(p99_area))
+        # The Pallas backend walks real per-tile counts, so max_per_tile is
+        # irrelevant to it — changing it would only force a needless re-jit.
+        if self.config.backend == "pallas":
+            mpt = self.config.max_per_tile
+        else:
+            mpt = pick_max_per_tile(int(max_count), headroom=1.5)
         if (mpt != self.config.max_per_tile
                 or mtpg != self.config.max_tiles_per_gauss):
             self.config = dataclasses.replace(
