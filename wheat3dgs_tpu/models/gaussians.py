@@ -210,11 +210,12 @@ def densify_and_prune(
     max_scale = scales.max(axis=1)
     opacity = jax.nn.sigmoid(p.opacity_logit)
 
-    prune = opacity < min_opacity
+    prune_op = (opacity < min_opacity) & state.alive
+    prune = prune_op
     if max_screen_size > 0:
-        prune |= state.max_radii2d > max_screen_size
-        prune |= max_scale > 0.1 * extent
-    prune &= state.alive
+        prune = prune | ((state.max_radii2d > max_screen_size)
+                         & state.alive)
+        prune = prune | ((max_scale > 0.1 * extent) & state.alive)
 
     hot = (grads >= grad_threshold) & state.alive & ~prune
     clone = hot & (max_scale <= percent_dense * extent)
@@ -285,7 +286,7 @@ def densify_and_prune(
 
     n_requested = n_clone + 2 * n_split
     info = {"n_clone": n_clone, "n_split": n_split,
-            "n_pruned": prune.sum(),
+            "n_pruned": prune.sum(), "n_pruned_opacity": prune_op.sum(),
             "n_dropped": jnp.maximum(0, n_requested - n_free),
             "n_alive": new_alive.sum()}
     return GaussianState(params=new_params, adam=new_adam, alive=new_alive,
