@@ -199,7 +199,18 @@ def densify_and_prune(
       split:  grad >= thresh and max(scale) >  percent_dense * extent,
               2 samples ~ N(0, scale) rotated, scales /= 1.6, original dies
       prune:  opacity < min_opacity, or (when max_screen_size > 0)
-              max_radii2d > max_screen_size or max(scale) > 0.1 * extent
+              max(scale) > 0.1 * extent
+
+    NOTE on the screen-radius prune: the reference's `big_points_vs =
+    max_radii2D > max_screen_size` (scene/gaussian_model.py:455-457) reads
+    a max_radii2D that `densification_postfix` has ALREADY zeroed for every
+    point (scene/gaussian_model.py:397 — postfix runs inside
+    densify_and_clone/split, before the prune mask is built), so it never
+    fires in the reference. Round 1 pruned on the *accumulated* radii
+    instead, which drove the documented post-reset prune spiral (any splat
+    eventually exceeds 20px in some view on large scenes); matching the
+    reference's actual behavior removes that failure mode.
+
     Returns (new_state, info) where info reports counts incl. `n_dropped`
     (requests that exceeded free capacity — host should grow_capacity).
     """
@@ -213,8 +224,8 @@ def densify_and_prune(
     prune_op = (opacity < min_opacity) & state.alive
     prune = prune_op
     if max_screen_size > 0:
-        prune = prune | ((state.max_radii2d > max_screen_size)
-                         & state.alive)
+        # world-size prune only; the reference's screen-radius prune is dead
+        # code (see docstring) so it is intentionally absent here.
         prune = prune | ((max_scale > 0.1 * extent) & state.alive)
 
     hot = (grads >= grad_threshold) & state.alive & ~prune
