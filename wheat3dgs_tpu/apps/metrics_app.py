@@ -30,6 +30,10 @@ def evaluate(model_paths, lpips_weights: str | None = None):
     from ..ops import lpips as lpips_mod
 
     lpips_fn = None
+    # --lpips_weights flag, or the WHEAT3DGS_LPIPS_WEIGHTS env var (so the
+    # reference-compatible `python metrics.py -m ...` CLI emits LPIPS too
+    # when a converted weights npz is available).
+    lpips_weights = lpips_weights or os.environ.get("WHEAT3DGS_LPIPS_WEIGHTS")
     if lpips_weights and os.path.exists(lpips_weights):
         lpips_fn = lpips_mod.load_lpips(lpips_weights)
 

@@ -66,10 +66,13 @@ def load_lpips(weights_path: str) -> Callable:
 
     @jax.jit
     def lpips(x, y):
+        """x, y in [0, 1] — fed to z_score DIRECTLY, matching the reference
+        pipeline (lpipsPyTorch/modules/networks.py:49-53 applies the
+        [-1,1]-calibrated shift/scale to whatever it receives, and
+        metrics.py:31-32 passes to_tensor() images in [0,1] — there is no
+        2x-1 mapping anywhere in the reference)."""
         if x.ndim == 3:
             x, y = x[None], y[None]
-        x = x * 2.0 - 1.0
-        y = y * 2.0 - 1.0
         fx, fy = features(x), features(y)
         val = 0.0
         for k, (a, b) in enumerate(zip(fx, fy)):
