@@ -85,3 +85,61 @@ def test_multi_plot_sharded_step():
                                atol=1e-5)
     # The sharded run actually used the mesh.
     assert len(metrics["loss"].sharding.device_set) > 1
+
+
+def test_gauss_axis_sharded_training_matches_unsharded():
+    """Capacity axis sharded over a (2 view x 4 gauss) mesh: several steps
+    incl. densify/prune/reset match the unsharded single-device result —
+    the memory-headroom path (SURVEY §5.7) is numerically transparent."""
+    from wheat3dgs_tpu.models import gaussians as G
+
+    state, cams = _state_and_cams(n=300, cap=512, n_views=2, seed=3)
+    gt = jnp.stack([jnp.full((3, 48, 64), 0.35, jnp.float32),
+                    jnp.full((3, 48, 64), 0.25, jnp.float32)])
+    opt = OptimizationParams()
+    conf = RasterConfig(max_tiles_per_gauss=8, max_per_tile=64, tile_batch=12)
+    bg = jnp.zeros(3, jnp.float32)
+    stack = lambda i: jnp.stack([jnp.asarray(c[i]) for c in cams])
+    cam_args = tuple(stack(i) for i in range(5))
+
+    def run(step_fn, st, put):
+        st = put(st)
+        for it in (1, 2, 3):
+            st, m = step_fn(st, *[put(a) for a in cam_args], put(gt), bg,
+                            jnp.int32(it))
+            if it == 2:   # exercise the sharded densify path too
+                st, _ = jax.jit(G.densify_and_prune, static_argnums=(5,))(
+                    st, jax.random.PRNGKey(0), 1e-5, 0.005,
+                    jnp.float32(1.0), 0.0)
+                st = G.reset_opacity(st)
+        return st, m
+
+    mesh = M.make_gauss_mesh(n_view=2, n_gauss=4)
+    sharded_step = M.build_gauss_sharded_trainer(
+        mesh, 1, 64, 48, opt, conf)
+    st_sh, m_sh = run(
+        sharded_step, jax.tree.map(jnp.copy, state),
+        lambda t: M.shard_state_gauss(mesh, t) if hasattr(t, "params")
+        else jax.device_put(t, jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("view"))))
+
+    import functools
+
+    base_step = functools.partial(
+        train_step_views, sh_degree=1, width=64, height=48, opt=opt,
+        config=conf)
+    st_ref, m_ref = run(lambda st, *a: base_step(st, *a),
+                        jax.tree.map(jnp.copy, state), lambda t: t)
+
+    # state leaves stay sharded over 'gauss' (memory actually distributed)
+    assert st_sh.params.means.sharding.spec == \
+        jax.sharding.PartitionSpec("gauss")
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.params.means),
+                               np.asarray(st_ref.params.means), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.alive),
+                               np.asarray(st_ref.alive))
+    np.testing.assert_allclose(np.asarray(st_sh.params.opacity_logit),
+                               np.asarray(st_ref.params.opacity_logit),
+                               atol=1e-5)
