@@ -68,29 +68,29 @@ splats = bench("projection+SH", proj, state, *cams)
 vis = int((np.asarray(splats.radius) > 0).sum())
 print(f"  visible: {vis}/{N}")
 
-# --- stage 2: entry stream (sorts + segment bounds + reduction map) ---
+# --- stage 2: entry stream (sort + segment bounds) ---
 @jax.jit
 def entry_stream(splats):
     return PR._entry_stream(splats, W, H, TILE, MTPG)
 
-stream = bench("entry_stream (sorts+bounds+groupmap)", entry_stream, splats)
-cnp = np.asarray(stream.counts)
-print(f"  E={stream.skeys.shape[0]}, tiles={cnp.size}, "
+gauss, starts, ends, real, sorig = bench(
+    "entry_stream (sort+bounds)", entry_stream, splats)
+cnp = np.asarray(ends) - np.asarray(starts)
+print(f"  E_pad={gauss.shape[0]}, tiles={cnp.size}, "
       f"mean count={cnp.mean():.0f}, max={cnp.max()}, total={cnp.sum()}")
 
 @jax.jit
-def stream_fwd_only(splats):
-    s = PR._entry_stream(splats, W, H, TILE, MTPG)
-    return s.skeys, s.starts, s.counts
+def entries_fwd_only(splats):
+    g, s, e, _, _ = PR._entry_stream(splats, W, H, TILE, MTPG)
+    return g, s, e
 
-bench("entry_stream fwd-only slice", stream_fwd_only, splats)
+bench("entry_stream fwd-only slice", entries_fwd_only, splats)
 
 # --- stage 3: entry gather ---
 @jax.jit
 def gather(splats):
-    s = PR._entry_stream(splats, W, H, TILE, MTPG)
-    return PR._entry_table(PR.pack_splats(splats), s.depth_order, s.skeys,
-                           s.rank_bits)
+    g, s, e, _, _ = PR._entry_stream(splats, W, H, TILE, MTPG)
+    return PR._entry_table(PR.pack_splats(splats), g)
 
 bench("entry gather (incl stream fwd)", gather, splats)
 
@@ -125,6 +125,38 @@ def loss_grad(state, w2c, fp, cc, tfx, tfy):
 
 bench("render+loss fwd+bwd", loss_grad, state, *cams)
 
+# --- stage 6b: raster-only fwd+bwd (no loss, sum cotangent) ---
+from wheat3dgs_tpu.ops.projection import Splats2D
+
+@jax.jit
+def raster_grad(splats):
+    def f(xy, conic, color, opacity, depth):
+        sp = Splats2D(xy=xy, depth=depth, conic=conic,
+                      radius=splats.radius, color=color, opacity=opacity)
+        out = PR.rasterize_pallas(sp, W, H, tile=TILE,
+                                  max_tiles_per_gauss=MTPG)
+        return out.color.sum() + out.alpha.sum()
+    return jax.grad(f, argnums=(0, 1, 2, 3))(
+        splats.xy, splats.conic, splats.color, splats.opacity, splats.depth)
+
+bench("raster fwd+bwd (sum cotangent)", raster_grad, splats)
+
+# --- stage 6c: composite bwd alone (kernel + sort reduction) ---
+from wheat3dgs_tpu.ops.binning import num_tiles as _nt
+_tx, _ty = _nt(W, H, TILE)
+comp = PR._composite_fns(_tx, _tx * _ty, TILE, 3, MTPG, False)
+stream = jax.jit(lambda sp: PR._entry_stream(sp, W, H, TILE, MTPG))(splats)
+packed0 = jax.jit(lambda sp: PR.pack_splats(sp))(splats)
+jax.block_until_ready((stream, packed0))
+
+@jax.jit
+def comp_vjp(packed, gauss, starts, ends, real, sorig):
+    out, vjp = jax.vjp(
+        lambda p: comp(p, gauss, starts, ends, real, sorig), packed)
+    return vjp(jnp.ones_like(out))[0]
+
+bench("composite bwd (kernel + reduction)", comp_vjp, packed0, *stream)
+
 # --- stage 7: ssim alone fwd+bwd ---
 @jax.jit
 def ssim_grad(img):
@@ -132,6 +164,28 @@ def ssim_grad(img):
 
 img = jnp.zeros((3, H, W), jnp.float32) + 0.31
 bench("ssim fwd+bwd", ssim_grad, img)
+
+# --- stage 7b: train-step epilogue pieces (adam + densify stats) ---
+from wheat3dgs_tpu.models.optim import adam_step
+from wheat3dgs_tpu.training import lr_tree
+
+@jax.jit
+def adam_only(state):
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    lrs = lr_tree(state.params, jnp.int32(1000), OptimizationParams(), 1.0)
+    new_p, new_a = adam_step(state.adam, grads, state.params, lrs)
+    return new_p.means
+
+bench("adam epilogue", adam_only, state)
+
+@jax.jit
+def dstats(state):
+    s = G.add_densification_stats(
+        state, jnp.ones((N, 2), jnp.float32),
+        jnp.ones((N,), jnp.int32))
+    return s.grad_accum
+
+bench("densification stats", dstats, state)
 
 # --- stage 8: full train step ---
 opt = OptimizationParams()

@@ -4,10 +4,16 @@ The XLA path (ops/raster.py) pads every tile to the max_per_tile ladder rung,
 so compute scales with the *max* tile occupancy. This kernel walks each
 tile's real entry list (mean occupancy is typically 10-60x below the max):
 
-- XLA prologue: EWA projection -> packed rows -> (tile, depth) two-key sort
-  -> per-entry gather into a depth-sorted, tile-contiguous entry table;
-- forward Pallas kernel, grid = one step per tile, per-tile entry counts
-  and CHUNK-aligned segment starts as prefetched scalars:
+- XLA prologue: EWA projection -> packed rows -> single-key sort on a
+  (tile << rank_bits | depth_rank) packed uint32 -> per-tile segment bounds
+  by searchsorted. Entries stay in COMPACT sorted order: the kernels walk
+  each tile's segment from its 128-aligned floor and mask the out-of-segment
+  lanes, so no padded entry table, no scatter, and no per-entry position
+  math exists anywhere (random-access scatters/gathers at entry scale cost
+  10-60 ms on TPU; everything here is sorts, fused elementwise ops and
+  monotone gathers);
+- forward Pallas kernel, grid = one step per tile, per-tile segment bounds
+  as prefetched scalars:
     while chunks remain AND transmittance > eps:
       DMA the next 128 lane-major entries (cross-tile prefetched),
       alpha   = exp(conic quadratic) rules as renderCUDA,
@@ -17,13 +23,23 @@ tile's real entry list (mean occupancy is typically 10-60x below the max):
   can recover its suffix totals exactly;
 - backward Pallas kernel (custom_vjp): ONE front-to-back replay per tile
   computing dL/dalpha from suffix sums (A - prefix), chaining to
-  conic/xy/opacity, writing per-entry gradients into tile-disjoint segments
-  (no atomics), then a duplicate-free gather-reduction via the inverse
-  expansion map.
+  conic/xy/opacity, writing per-entry gradients at the entries' sorted
+  positions. Chunks straddling a tile boundary are accumulated through an
+  in-VMEM carry (the sequential TPU grid makes the previous tile's partial
+  available), so no atomics and no read-modify-write of HBM;
+- per-splat gradients via ONE single-key variadic sort keyed on the
+  expansion slot id (gauss * mtpg + slot): afterwards every gaussian owns
+  exactly mtpg consecutive rows -> fixed-width reshape + sum. A variadic
+  TPU sort costs ~4-5 ms at 2M entries nearly independent of payload width,
+  vs ~60 ms for the random-gather alternative.
 
 Numerics match ops/raster.py's composite_packed (same log-space
 transmittance); tests compare both against the naive golden model and the
 two backends' gradients against each other.
+
+Reference parity: the CUDA pair in submodules/diff-gaussian-rasterization
+(duplicateWithKeys + radix sort + renderCUDA fwd/bwd); same culling rules,
+0.99 alpha clamp, 1/255 alpha floor, 1e-4 transmittance stop.
 """
 
 from __future__ import annotations
@@ -47,15 +63,16 @@ FEAT = 16           # packed feature columns (8 geo + up to 8 color)
 LOG_T_EPS = math.log(T_EPS)
 
 
-def _sorted_entries(splats: Splats2D, width: int, height: int, tile: int,
-                    max_tiles_per_gauss: int):
-    """(tile, depth)-sorted, CHUNK-aligned entry segments.
+def _entry_stream(splats: Splats2D, width: int, height: int, tile: int,
+                  max_tiles_per_gauss: int):
+    """Depth-ordered, tile-segmented entry stream in COMPACT sorted order.
 
-    Returns (idx_table (E_pad,), padded_starts (T,), counts (T,),
-    inv_map (N, mtpg)). idx_table maps padded entry rows -> gaussian index
-    (-1 for padding); inv_map is the inverse (expansion slot -> entry row,
-    e_pad sentinel when unused) used by the backward's duplicate-free
-    reduction.
+    Returns (gauss (E_pad,), starts (T,), ends (T,), real (E,), sorig (E,)):
+    gauss[i] = gaussian index of sorted entry i (padded tail repeats 0);
+    [starts[t], ends[t]) = tile t's segment; real marks in-tile entries
+    (False for the sentinel tail of expansion slots that cover no tile);
+    sorig[i] = expansion slot id (gauss * mtpg + slot) of sorted entry i,
+    the key of the backward's sort-based reduction.
     """
     n = splats.xy.shape[0]
     tiles_x, tiles_y = num_tiles(width, height, tile)
@@ -68,169 +85,193 @@ def _sorted_entries(splats: Splats2D, width: int, height: int, tile: int,
         splats, tiles_x, tiles_y, tile, mtpg)
     depth_order = jnp.argsort(splats.depth, stable=True)
     rank = jnp.zeros((n,), jnp.int32).at[depth_order].set(
-        jnp.arange(n, dtype=jnp.int32))
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
 
     slots = jnp.arange(mtpg, dtype=jnp.int32)
     safe_span_x = jnp.maximum(span_x, 1)
-    off_x = slots[None, :] % safe_span_x[:, None]
-    off_y = slots[None, :] // safe_span_x[:, None]
+    # slot -> (dx, dy) within the rect via exact float reciprocal (spans are
+    # small ints; integer div/mod by a vector divisor is slow on the VPU).
+    recip = 1.0 / safe_span_x.astype(jnp.float32)
+    off_y = jnp.floor(slots[None, :].astype(jnp.float32)
+                      * recip[:, None]).astype(jnp.int32)
+    off_x = slots[None, :] - off_y * safe_span_x[:, None]
     tile_id = ((rmin_y[:, None] + off_y) * tiles_x
                + (rmin_x[:, None] + off_x)).astype(jnp.int32)
     valid = slots[None, :] < count[:, None]
     tile_id = jnp.where(valid, tile_id, t_total)
 
-    gauss_idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, mtpg))
-    ranks = jnp.broadcast_to(rank[:, None], (n, mtpg))
     e = n * mtpg
     orig_pos = jnp.arange(e, dtype=jnp.int32)
-    sorted_tile, _, sorted_gauss, sorted_orig = jax.lax.sort(
-        (tile_id.ravel(), ranks.ravel(), gauss_idx.ravel(), orig_pos),
-        num_keys=2, is_stable=False)
+    tile_bits = max(1, math.ceil(math.log2(t_total + 1)))
+    rank_bits = 32 - tile_bits
+    if n <= (1 << rank_bits):
+        # Packed single-key sort: (tile | depth-rank) in one uint32 — ~2x
+        # faster than the 2-key multi-operand variant at entry scale.
+        key = ((tile_id.astype(jnp.uint32) << rank_bits)
+               | rank.astype(jnp.uint32)[:, None]).ravel()
+        skey, sorig = jax.lax.sort((key, orig_pos), num_keys=1,
+                                   is_stable=False)
+        sorted_tile = (skey >> rank_bits).astype(jnp.int32)
+    else:  # huge scenes: tile+rank bits overflow 32 — two-key fallback
+        ranks = jnp.broadcast_to(rank[:, None], (n, mtpg))
+        sorted_tile, _, sorig = jax.lax.sort(
+            (tile_id.ravel(), ranks.ravel(), orig_pos), num_keys=2,
+            is_stable=False)
 
     tids = jnp.arange(t_total, dtype=sorted_tile.dtype)
     starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
-    counts = ends - starts
 
-    # Re-pack segments CHUNK-aligned so every DMA offset is a lane multiple.
-    e_pad = e + (CHUNK - 1) * t_total
-    chunk_rows = -(-counts // CHUNK) * CHUNK          # per-tile padded length
-    padded_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(chunk_rows)[:-1]])
-    pos = jnp.arange(e, dtype=jnp.int32) - starts[
-        jnp.minimum(sorted_tile, t_total - 1)]
-    target = jnp.where(sorted_tile < t_total,
-                       padded_starts[jnp.minimum(sorted_tile, t_total - 1)]
-                       + pos, e_pad)
-    idx_table = jnp.full((e_pad,), -1, jnp.int32).at[target].set(
-        sorted_gauss, mode="drop")
-
-    # Inverse map for the backward's duplicate-free reduction: expansion slot
-    # (gauss i, slot j) -> its padded entry row (or e_pad when unused). The
-    # scatter below is a pure permutation (unique indices), so it stays fast.
-    inv_map = jnp.full((e,), e_pad, jnp.int32).at[sorted_orig].set(
-        jnp.where(sorted_tile < t_total, target, e_pad))
-    inv_map = inv_map.reshape(n, mtpg)
-    return idx_table, padded_starts, counts, inv_map
+    gauss = sorig // mtpg
+    e_pad = -(-e // CHUNK) * CHUNK
+    if e_pad > e:  # aligned tail so the last tile's chunk walk stays in range
+        gauss = jnp.pad(gauss, (0, e_pad - e))
+    return gauss, starts, ends, sorted_tile < t_total, sorig
 
 
-def _entry_table(packed: jnp.ndarray, idx_table: jnp.ndarray) -> jnp.ndarray:
-    """(E_pad, FEAT) gathered rows, zeroed for padding entries."""
+def _entry_table(packed: jnp.ndarray, gauss: jnp.ndarray) -> jnp.ndarray:
+    """(FEAT, E_pad) lane-major gathered rows (fused gather+pad+transpose).
+
+    No masking: sentinel-tail entries are never inside any tile segment, so
+    their (real, harmless) rows are never read by the kernels.
+    """
     c = packed.shape[1] - 8
     packed = jnp.pad(packed, ((0, 0), (0, FEAT - 8 - c)))
-    rows = packed[jnp.maximum(idx_table, 0)]
-    return jnp.where((idx_table >= 0)[:, None], rows, 0.0)
+    return packed[gauss].T
 
 
-def _fwd_kernel(tiles_x: int, tile: int):
+def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
+    """r_batch tiles per grid step (inner fori): grid-step overhead is a
+    few microseconds on TPU and dominates sparse tiles, so flattening 8
+    tiles into one step amortizes it 8x. All DMA logic is sequential across
+    the flattened walk exactly as it was across grid steps."""
     p = tile * tile
 
-    def kernel(starts_ref, counts_ref, lane_hbm, out_ref, lane_buf, sem_l,
+    def kernel(starts_ref, ends_ref, lane_hbm, out_ref, lane_buf, sem_l,
                slot_ref):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        count = counts_ref[t]
-        nc = pl.cdiv(count, CHUNK)
+        pid = pl.program_id(0)
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
 
         def dma(slot, off):
             return pltpu.make_async_copy(
                 lane_hbm.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
                 lane_buf.at[slot], sem_l.at[slot])
 
-        # Cross-tile software pipeline: tile t's FIRST chunk is started at
-        # the end of tile t-1 (parity in slot_ref[0]); most tiles have one
-        # chunk, so the DMA latency hides behind the previous tile's compute
-        # and output write. Within-tile extra chunks (rare) run start+wait
-        # inline on the opposite slot, so an early transmittance exit can
-        # never leave a DMA un-awaited.
-        @pl.when(t == 0)
-        def _():
-            slot_ref[0] = 0
+        def one_tile(r, _):
+            t = pid * r_batch + r
+            s = starts_ref[t]
+            e = ends_ref[t]
+            a = (s // CHUNK) * CHUNK          # aligned walk floor
+            nc = jnp.where(e > s, pl.cdiv(e - a, CHUNK), 0)
 
-            @pl.when(count > 0)
+            # Cross-tile software pipeline: tile t's FIRST chunk is started
+            # at the end of tile t-1 (parity in slot_ref[0]); most tiles
+            # have one chunk, so the DMA latency hides behind the previous
+            # tile's compute and output write. Within-tile extra chunks run
+            # on the opposite slot, so an early transmittance exit can never
+            # leave a DMA un-awaited.
+            @pl.when(t == 0)
             def _():
-                dma(0, start).start()
+                slot_ref[0] = 0
 
-        s0 = slot_ref[0]
+                @pl.when(nc > 0)
+                def _():
+                    dma(0, a).start()
 
-        tx = (t % tiles_x) * tile
-        ty = (t // tiles_x) * tile
-        pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        px = (tx + pix_i % tile).astype(jnp.float32)          # (P, 1)
-        py = (ty + pix_i // tile).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            s0 = slot_ref[0]
 
-        def chunk_body(carry):
-            j, logt, tfin, acc = carry
-            slot = (s0 + j) % 2
+            tx = (t % tiles_x) * tile
+            ty = (t // tiles_x) * tile
+            px = (tx + pix_i % tile).astype(jnp.float32)      # (P, 1)
+            py = (ty + pix_i // tile).astype(jnp.float32)
 
-            @pl.when(j > 0)
+            def chunk_body(carry):
+                j, logt, ws, acc = carry
+                slot = (s0 + j) % 2
+
+                @pl.when(j > 0)
+                def _():
+                    dma(slot, a + j * CHUNK).start()
+
+                dma(slot, a + j * CHUNK).wait()
+                ent = lane_buf[slot]                          # (FEAT, CHUNK)
+                g = a + j * CHUNK + lane                      # global entry
+                valid = (g >= s) & (g < e)                    # (1, CHUNK)
+
+                dx = px - ent[0:1, :]                         # (P, CHUNK)
+                dy = py - ent[1:2, :]
+                power = (-0.5 * (ent[2:3, :] * dx * dx
+                                 + ent[4:5, :] * dy * dy)
+                         - ent[3:4, :] * dx * dy)
+                alpha = jnp.minimum(ALPHA_MAX,
+                                    ent[5:6, :] * jnp.exp(power))
+                alpha = jnp.where(
+                    (power > 0.0) | (alpha < ALPHA_MIN) | ~valid, 0.0, alpha)
+
+                l1m = jnp.log1p(-alpha)                       # (P, CHUNK)
+                log_t_after = logt + jnp.dot(
+                    l1m, tri, preferred_element_type=jnp.float32)
+                include = log_t_after >= LOG_T_EPS
+                w = jnp.where(include,
+                              alpha * jnp.exp(log_t_after - l1m), 0.0)
+
+                # Channel-major accumulators (FEAT, P) and (1, P): the
+                # reversed contraction gives accT directly, and the weight
+                # total telescopes to the final transmittance
+                # (sum_k a_k T_b_k = 1 - T_after_last_included), so no
+                # in-kernel transposes and the output block keeps P on the
+                # lane axis (a (.., P, 17) block would lane-pad 17 -> 128
+                # and blow the 16 MB VMEM budget at r_batch = 8).
+                acc = acc + jax.lax.dot_general(
+                    ent, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (FEAT, P)
+                ws = ws + jax.lax.dot_general(
+                    jnp.ones((1, CHUNK), jnp.float32), w,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (1, P)
+                return j + 1, log_t_after[:, CHUNK - 1:CHUNK], ws, acc
+
+            def cond(carry):
+                j, logt, _, _ = carry
+                return (j < nc) & (jnp.max(logt) >= LOG_T_EPS)
+
+            init = (jnp.int32(0), jnp.zeros((p, 1), jnp.float32),
+                    jnp.zeros((1, p), jnp.float32),
+                    jnp.zeros((FEAT, p), jnp.float32))
+            _, _, ws, acc = jax.lax.while_loop(cond, chunk_body, init)
+
+            # Start the next tile's first chunk (flip parity when issued).
+            @pl.when(t + 1 < t_total)
             def _():
-                dma(slot, start + j * CHUNK).start()
+                s_n = starts_ref[t + 1]
 
-            dma(slot, start + j * CHUNK).wait()
-            e = lane_buf[slot]                                # (FEAT, CHUNK)
-            valid = (j * CHUNK + lane) < count                # (1, CHUNK)
+                @pl.when(ends_ref[t + 1] > s_n)
+                def _():
+                    dma(1 - s0, (s_n // CHUNK) * CHUNK).start()
+                    slot_ref[0] = 1 - s0
 
-            dx = px - e[0:1, :]                               # (P, CHUNK)
-            dy = py - e[1:2, :]
-            power = (-0.5 * (e[2:3, :] * dx * dx + e[4:5, :] * dy * dy)
-                     - e[3:4, :] * dx * dy)
-            alpha = jnp.minimum(ALPHA_MAX, e[5:6, :] * jnp.exp(power))
-            alpha = jnp.where(
-                (power > 0.0) | (alpha < ALPHA_MIN) | ~valid, 0.0, alpha)
+            # Emit the FULL feature accumulator + final transmittance: the
+            # backward recovers its suffix total A = g . acc exactly from
+            # this (no replay pass), and the caller assembles color/depth/
+            # alpha (background applied outside the kernel, differentiably).
+            out_ref[r, 0:FEAT, :] = acc
+            out_ref[r, FEAT:FEAT + 1, :] = 1.0 - ws
+            return 0
 
-            l1m = jnp.log1p(-alpha)                           # (P, CHUNK)
-            tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
-            log_t_after = logt + jnp.dot(
-                l1m, tri, preferred_element_type=jnp.float32)
-            include = log_t_after >= LOG_T_EPS
-            w = jnp.where(include, alpha * jnp.exp(log_t_after - l1m), 0.0)
-            tfin = jnp.minimum(
-                tfin, jnp.min(jnp.where(include, log_t_after, 0.0), axis=1,
-                              keepdims=True))
-
-            # w (P, CHUNK) contracted with e (FEAT, CHUNK) on the entry
-            # axis -> (P, FEAT); the MXU takes the B-transposed layout
-            # directly, so no in-kernel transpose of the entry block.
-            acc = acc + jax.lax.dot_general(
-                w, e, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return j + 1, log_t_after[:, CHUNK - 1:CHUNK], tfin, acc
-
-        def cond(carry):
-            j, logt, _, _ = carry
-            return (j < nc) & (jnp.max(logt) >= LOG_T_EPS)
-
-        init = (jnp.int32(0), jnp.zeros((p, 1), jnp.float32),
-                jnp.zeros((p, 1), jnp.float32),
-                jnp.zeros((p, FEAT), jnp.float32))
-        _, _, tfin, acc = jax.lax.while_loop(cond, chunk_body, init)
-
-        # Start the next tile's first chunk (flip parity only when issued).
-        n_tiles = pl.num_programs(0)
-
-        @pl.when(t + 1 < n_tiles)
-        def _():
-            nxt_count = counts_ref[t + 1]
-
-            @pl.when(nxt_count > 0)
+        def guarded(r, _):
+            @pl.when(pid * r_batch + r < t_total)
             def _():
-                dma(1 - s0, starts_ref[t + 1]).start()
-                slot_ref[0] = 1 - s0
+                one_tile(r, None)
+            return 0
 
-        # Emit the FULL feature accumulator + final transmittance: the
-        # backward recovers its suffix total A = g . acc exactly from this
-        # (no replay pass), and the caller assembles color/depth/alpha
-        # (background is applied outside the kernel, differentiably).
-        out_ref[0, :, 0:FEAT] = acc
-        out_ref[0, :, FEAT:FEAT + 1] = jnp.exp(tfin)
+        jax.lax.fori_loop(0, r_batch, guarded, 0)
 
     return kernel
 
 
-def _bwd_kernel(tiles_x: int, tile: int):
+def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
     """Gradient replay: one front-to-back pass per tile.
 
     The cotangent g arrives in the RAW output layout (acc FEAT cols +
@@ -240,127 +281,222 @@ def _bwd_kernel(tiles_x: int, tile: int):
         dL/da_k  = T_b_k u_k - (A - prefix_k)/(1-a_k) - c2/(1-a_k)
     where A = g . acc (computed exactly in XLA from the stored forward
     accumulator — no replay pass) and c2 = g_tfinal * t_final is the
-    final-transmittance chain. Entry-gradient rows live in tile-disjoint
-    segments, so writes need no atomics (unlike the CUDA backward).
+    final-transmittance chain.
+
+    Entry gradients land at the entries' sorted positions. A chunk shared
+    by two (or more) tile segments is combined through an in-VMEM carry:
+    the sequential walk visits tiles in segment order, so when tile t's
+    first chunk is the same 128-entry window as the previous tile's last,
+    the previous partial is still in the carry slot and is added before
+    the store — no atomics, no HBM read-modify-write.
+
+    Output DMAs are double-buffered: a slot's previous store is only waited
+    when the slot is reused (or when a boundary merge writes the same HBM
+    window again, which needs write-after-write ordering). The replay stops
+    at the same transmittance floor as the forward (entries past it have
+    zero weight AND zero gradient); their rows are never written — the
+    output aliases a zero-filled buffer, so skipped rows already hold the
+    correct zero gradient.
     """
     p = tile * tile
 
-    def kernel(starts_ref, counts_ref, lane_hbm, g_ref, a_ref, out_hbm,
-               lane_buf, dent_buf, sem_in, sem_out):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        count = counts_ref[t]
-        nc = pl.cdiv(count, CHUNK)
-
-        tx = (t % tiles_x) * tile
-        ty = (t // tiles_x) * tile
+    def kernel(starts_ref, ends_ref, lane_hbm, g_ref, a_ref, dzero_ref,
+               out_hbm, lane_buf, out_bufs, sem_in, sem_out, scal):
+        del dzero_ref  # aliased to out_hbm; pre-zeroed by the caller
+        # scal: [0]=carry_off, [1]=carry_slot, [2]=pend0, [3]=pend1 (HBM
+        # window offsets of the in-flight store per slot, -1 = idle).
+        pid = pl.program_id(0)
+        n_prog = pl.num_programs(0)
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        px = (tx + pix_i % tile).astype(jnp.float32)
-        py = (ty + pix_i // tile).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
 
-        gmat = g_ref[0][:, 0:FEAT]                            # (P, FEAT)
-        a_total = a_ref[0][:, 0:1]                            # (P, 1)
-        c2 = a_ref[0][:, 1:2]                                 # g_tfin*t_final
+        @pl.when(pid == 0)
+        def _():
+            scal[0] = -1
+            scal[1] = 0
+            scal[2] = -1
+            scal[3] = -1
 
-        def alpha_w_u(j, logt):
-            """Shared replay math for one chunk (assumes entry chunk j is in
-            lane_buf). Returns (e, dx, dy, power, ep, raw, alpha, live,
-            t_before, include, w, u, new_logt)."""
-            e = lane_buf[:]                                   # (FEAT, CHUNK)
-            valid = (j * CHUNK + lane) < count
-            dx = px - e[0:1, :]
-            dy = py - e[1:2, :]
-            power = (-0.5 * (e[2:3, :] * dx * dx + e[4:5, :] * dy * dy)
-                     - e[3:4, :] * dx * dy)
-            ep = jnp.exp(power)
-            raw = e[5:6, :] * ep
-            alpha = jnp.minimum(ALPHA_MAX, raw)
-            live = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
-            alpha = jnp.where(live, alpha, 0.0)
-            l1m = jnp.log1p(-alpha)
-            tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
-            log_t_after = logt + jnp.dot(
-                l1m, tri, preferred_element_type=jnp.float32)
-            include = log_t_after >= LOG_T_EPS
-            t_before = jnp.exp(log_t_after - l1m)
-            w = jnp.where(include, alpha * t_before, 0.0)
-            u = jax.lax.dot_general(
-                gmat, e, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (P, CHUNK)
-            return (e, dx, dy, power, ep, raw, alpha, live, t_before,
-                    include, w, u, log_t_after)
+        def out_dma(slot, off):
+            return pltpu.make_async_copy(
+                out_bufs.at[slot],
+                out_hbm.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                sem_out.at[slot])
 
-        def load(j):
-            off = pl.multiple_of(start + j * CHUNK, CHUNK)
-            dma_in = pltpu.make_async_copy(
-                lane_hbm.at[:, pl.ds(off, CHUNK)], lane_buf, sem_in)
-            dma_in.start()
-            dma_in.wait()
-            return off
+        def retire(slot):
+            @pl.when(scal[2 + slot] >= 0)
+            def _():
+                out_dma(slot, scal[2 + slot]).wait()
+                scal[2 + slot] = -1
 
-        def chunk_body(j, carry):
-            logt, prefix_carry = carry
-            off = load(j)
-            (e, dx, dy, power, ep, raw, alpha, live, t_before, include, w,
-             u, log_t_after) = alpha_w_u(j, logt)
-            tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
-            pu = w * u
-            prefix = prefix_carry + jnp.dot(
-                pu, tri, preferred_element_type=jnp.float32)   # (P, CHUNK)
-            suffix = a_total - prefix
-            grad_ok = live & include & (raw < ALPHA_MAX)
-            dalpha = jnp.where(
-                grad_ok,
-                t_before * u - (suffix + c2) / (1.0 - alpha), 0.0)
-            dpow = dalpha * alpha                              # (P, CHUNK)
-            dop = dalpha * jnp.where(grad_ok, ep, 0.0)
+        def one_tile(r):
+            t = pid * r_batch + r
+            s = starts_ref[t]
+            e = ends_ref[t]
+            a = (s // CHUNK) * CHUNK
+            nc = jnp.where(e > s, pl.cdiv(e - a, CHUNK), 0)
 
-            # Per-entry reductions over pixels (rows = FEAT layout).
-            fg = jax.lax.dot_general(
-                gmat, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (FEAT, CHUNK)
-            a_, b_, c_ = e[2:3, :], e[3:4, :], e[4:5, :]
-            geo = jnp.concatenate([
-                jnp.sum(dpow * (a_ * dx + b_ * dy), 0, keepdims=True),
-                jnp.sum(dpow * (b_ * dx + c_ * dy), 0, keepdims=True),
-                jnp.sum(-0.5 * dx * dx * dpow, 0, keepdims=True),
-                jnp.sum(-dx * dy * dpow, 0, keepdims=True),
-                jnp.sum(-0.5 * dy * dy * dpow, 0, keepdims=True),
-                jnp.sum(dop, 0, keepdims=True),
-            ], axis=0)                                         # (6, CHUNK)
-            # rows 0-5 of fg are zero (gmat has no geometry columns).
-            dent_buf[:] = jnp.concatenate([geo, fg[6:, :]], axis=0)
-            dma_out = pltpu.make_async_copy(
-                dent_buf, out_hbm.at[:, pl.ds(off, CHUNK)], sem_out)
-            dma_out.start()
-            dma_out.wait()
-            return (log_t_after[:, CHUNK - 1:CHUNK],
-                    prefix[:, CHUNK - 1:CHUNK])
+            tx = (t % tiles_x) * tile
+            ty = (t // tiles_x) * tile
+            px = (tx + pix_i % tile).astype(jnp.float32)
+            py = (ty + pix_i // tile).astype(jnp.float32)
 
-        jax.lax.fori_loop(
-            0, nc, chunk_body,
-            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
+            gmat = g_ref[r][0:FEAT, :]                        # (FEAT, P)
+            a2_row = a_ref[r][0:1, :] + a_ref[r][1:2, :]      # (1, P) A + c2
+
+            def in_dma(slot, j):
+                return pltpu.make_async_copy(
+                    lane_hbm.at[:, pl.ds(
+                        pl.multiple_of(a + j * CHUNK, CHUNK), CHUNK)],
+                    lane_buf.at[slot], sem_in.at[slot])
+
+            @pl.when(nc > 0)
+            def _():
+                in_dma(0, 0).start()
+
+            def chunk_body(carry):
+                j, logt, prefix_carry = carry
+                slot = j % 2
+
+                @pl.when(j + 1 < nc)
+                def _():
+                    in_dma(1 - slot, j + 1).start()
+
+                in_dma(slot, j).wait()
+                ent = lane_buf[slot]                          # (FEAT, CHUNK)
+                off = a + j * CHUNK
+                g_id = off + lane
+                valid = (g_id >= s) & (g_id < e)
+                dx = px - ent[0:1, :]
+                dy = py - ent[1:2, :]
+                power = (-0.5 * (ent[2:3, :] * dx * dx
+                                 + ent[4:5, :] * dy * dy)
+                         - ent[3:4, :] * dx * dy)
+                ep = jnp.exp(power)
+                raw = ent[5:6, :] * ep
+                alpha = jnp.minimum(ALPHA_MAX, raw)
+                live = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
+                alpha = jnp.where(live, alpha, 0.0)
+                l1m = jnp.log1p(-alpha)
+                log_t_after = logt + jnp.dot(
+                    l1m, tri, preferred_element_type=jnp.float32)
+                include = log_t_after >= LOG_T_EPS
+                t_before = jnp.exp(log_t_after - l1m)
+                w = jnp.where(include, alpha * t_before, 0.0)
+                u = jax.lax.dot_general(
+                    gmat, ent, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (P, CHUNK)
+
+                pu = w * u
+                prefix = prefix_carry + jnp.dot(
+                    pu, tri, preferred_element_type=jnp.float32)
+                # (A + c2) broadcast to (P, CHUNK) via a rank-1 outer
+                # product on the MXU (no in-kernel transpose of the
+                # channel-major aux rows).
+                a2 = jax.lax.dot_general(
+                    a2_row, jnp.ones((1, CHUNK), jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (P, CHUNK)
+                grad_ok = live & include & (raw < ALPHA_MAX)
+                dalpha = jnp.where(
+                    grad_ok,
+                    t_before * u - (a2 - prefix) / (1.0 - alpha), 0.0)
+                dpow = dalpha * alpha                          # (P, CHUNK)
+                dop = dalpha * jnp.where(grad_ok, ep, 0.0)
+
+                # Per-entry reductions over pixels (rows = FEAT layout).
+                fg = jax.lax.dot_general(
+                    gmat, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (FEAT,CHUNK)
+                a_, b_, c_ = ent[2:3, :], ent[3:4, :], ent[4:5, :]
+                geo = jnp.concatenate([
+                    jnp.sum(dpow * (a_ * dx + b_ * dy), 0, keepdims=True),
+                    jnp.sum(dpow * (b_ * dx + c_ * dy), 0, keepdims=True),
+                    jnp.sum(-0.5 * dx * dx * dpow, 0, keepdims=True),
+                    jnp.sum(-dx * dy * dpow, 0, keepdims=True),
+                    jnp.sum(-0.5 * dy * dy * dpow, 0, keepdims=True),
+                    jnp.sum(dop, 0, keepdims=True),
+                ], axis=0)                                     # (6, CHUNK)
+                # rows 0-5 of fg are zero (gmat has no geometry columns).
+                block = jnp.concatenate([geo, fg[6:, :]], axis=0)
+
+                # Boundary merge via the sequential carry: the previous
+                # tile's last partial for this very window still sits in
+                # out_bufs[carry_slot].
+                is_merge = scal[0] == off
+                cslot = scal[1]
+                block = block + jnp.where(is_merge, out_bufs[cslot], 0.0)
+
+                wslot = 1 - cslot
+                # Reuse ordering: wait the slot's previous store; on a
+                # merge also wait the carried slot's store of this same
+                # window (write-after-write on out_hbm).
+                retire(wslot)
+
+                @pl.when(is_merge)
+                def _():
+                    retire(cslot)
+
+                out_bufs[wslot] = block
+                out_dma(wslot, off).start()
+                scal[0] = off
+                scal[1] = wslot
+                scal[2 + wslot] = off
+                return (j + 1, log_t_after[:, CHUNK - 1:CHUNK],
+                        prefix[:, CHUNK - 1:CHUNK])
+
+            def cond(carry):
+                j, logt, _ = carry
+                return (j < nc) & (jnp.max(logt) >= LOG_T_EPS)
+
+            j_end, _, _ = jax.lax.while_loop(
+                cond, chunk_body,
+                (jnp.int32(0), jnp.zeros((p, 1), jnp.float32),
+                 jnp.zeros((p, 1), jnp.float32)))
+
+            # An early exit leaves the next chunk's lookahead DMA in
+            # flight — retire it before the next tile reuses the slot.
+            @pl.when(j_end < nc)
+            def _():
+                in_dma(j_end % 2, j_end).wait()
+
+        def guarded(r, _):
+            @pl.when(pid * r_batch + r < t_total)
+            def _():
+                one_tile(r)
+            return 0
+
+        jax.lax.fori_loop(0, r_batch, guarded, 0)
+
+        # Retire outstanding stores before the kernel ends.
+        @pl.when(pid + 1 == n_prog)
+        def _():
+            retire(0)
+            retire(1)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=64)
 def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
-                   interpret: bool):
-    """custom_vjp'd (packed, idx_table, starts, counts, inv_map) ->
+                   mtpg: int, interpret: bool):
+    """custom_vjp'd (packed, gauss, starts, ends, real, sorig) ->
     raw per-tile accumulators (T, P, FEAT+1): full feature sums + final
     transmittance. Background is applied by the caller (differentiable XLA),
     which keeps the kernels bg-free and lets the backward recover its suffix
     total A = g . acc without a replay pass."""
     p = tile * tile
+    r_batch = 8                      # tiles per grid step (overhead amortizer)
+    n_steps = -(-t_total // r_batch)
+    t_pad = n_steps * r_batch
 
-    def run_fwd(entries_lane, starts, counts):
+    def run_fwd(entries_lane, starts, ends):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(t_total,),
+            grid=(n_steps,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((1, p, FEAT + 1),
+            out_specs=pl.BlockSpec((r_batch, FEAT + 1, p),
                                    lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -369,72 +505,91 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
                 pltpu.SMEM((1,), jnp.int32),
             ],
         )
-        return pl.pallas_call(
-            _fwd_kernel(tiles_x, tile),
+        out = pl.pallas_call(
+            _fwd_kernel(tiles_x, tile, t_total, r_batch),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((t_total, p, FEAT + 1),
+            out_shape=jax.ShapeDtypeStruct((t_pad, FEAT + 1, p),
                                            jnp.float32),
             interpret=interpret,
-        )(starts, counts, entries_lane)
+        )(starts, ends, entries_lane)
+        return out[:t_total]
 
     @jax.custom_vjp
-    def comp(packed, idx_table, starts, counts, inv_map):
-        return run_fwd(_entry_table(packed, idx_table).T, starts, counts)
+    def comp(packed, gauss, starts, ends, real, sorig):
+        return run_fwd(_entry_table(packed, gauss), starts, ends)
 
-    def comp_fwd(packed, idx_table, starts, counts, inv_map):
+    def comp_fwd(packed, gauss, starts, ends, real, sorig):
         # The entry table is both the forward input and the backward's replay
-        # data — keep it as a residual instead of re-gathering E_pad rows.
-        entries_lane = _entry_table(packed, idx_table).T
-        out = run_fwd(entries_lane, starts, counts)
-        return out, (entries_lane, idx_table, starts, counts, inv_map, out)
+        # data — keep it as a residual instead of re-gathering.
+        entries_lane = _entry_table(packed, gauss)
+        out = run_fwd(entries_lane, starts, ends)
+        return out, (entries_lane, starts, ends, real, sorig, out)
 
     def comp_bwd(res, g):
-        entries_lane, idx_table, starts, counts, inv_map, out = res
-        e_pad = idx_table.shape[0]
-        # g is the cotangent of the RAW output (acc cols + t_final).
-        # Suffix total per pixel, EXACTLY linear in the stored accumulator:
-        # A = sum_k w_k u_k = g[:, :FEAT] . acc; plus the t_final chain
-        # constant c2 = g_tfin * t_final.
-        a_total = (g[..., :FEAT] * out[..., :FEAT]).sum(-1, keepdims=True)
-        c2 = g[..., FEAT:FEAT + 1] * out[..., FEAT:FEAT + 1]
-        aux = jnp.concatenate([a_total, c2], axis=-1)         # (T, P, 2)
+        entries_lane, starts, ends, real, sorig, out = res
+        e_pad = entries_lane.shape[1]
+        # g is the cotangent of the RAW output (acc rows + t_final row,
+        # channel-major (T, FEAT+1, P)). Suffix total per pixel, EXACTLY
+        # linear in the stored accumulator: A = sum_k w_k u_k =
+        # sum_f g[f] * acc[f]; plus the t_final chain c2 = g_tfin * t_final.
+        a_total = (g[:, :FEAT, :] * out[:, :FEAT, :]).sum(1, keepdims=True)
+        c2 = g[:, FEAT:FEAT + 1, :] * out[:, FEAT:FEAT + 1, :]
+        aux = jnp.concatenate([a_total, c2], axis=1)          # (T, 2, P)
+        if t_pad > t_total:
+            zpad = ((0, t_pad - t_total), (0, 0), (0, 0))
+            g = jnp.pad(g, zpad)
+            aux = jnp.pad(aux, zpad)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(t_total,),
+            grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),        # entries
-                pl.BlockSpec((1, p, FEAT + 1), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((r_batch, FEAT + 1, p),
+                             lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),       # g
-                pl.BlockSpec((1, p, 2), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((r_batch, 2, p), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),       # [A, c2]
+                pl.BlockSpec(memory_space=pltpu.ANY),        # zero seed
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dentries lane
             scratch_shapes=[
-                pltpu.VMEM((FEAT, CHUNK), jnp.float32),
-                pltpu.VMEM((FEAT, CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+                pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((4,), jnp.int32),
             ],
         )
+        # The output aliases a zero buffer so rows past each tile's
+        # transmittance stop (never written by the early-exiting replay)
+        # already hold their correct zero gradient. Alias indices count the
+        # scalar-prefetch operands first: input 5 is the zero seed.
+        dzero = jnp.zeros((FEAT, e_pad), jnp.float32)
         dent_lane = pl.pallas_call(
-            _bwd_kernel(tiles_x, tile),
+            _bwd_kernel(tiles_x, tile, t_total, r_batch),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((FEAT, e_pad), jnp.float32),
+            input_output_aliases={5: 0},
             interpret=interpret,
-        )(starts, counts, entries_lane, g, aux)
+        )(starts, ends, entries_lane, g, aux, dzero)
 
-        # Duplicate-free reduction back to per-splat grads: each splat's
-        # <= mtpg entry rows are known a priori (inv_map), so the transpose
-        # of the entry gather is a plain gather + sum — no TPU scatter.
-        dent = dent_lane.T                                   # (E_pad, FEAT)
-        safe = jnp.minimum(inv_map, e_pad - 1)
-        rows = dent[safe]                                    # (N, mtpg, FEAT)
-        rows = jnp.where((inv_map < e_pad)[..., None], rows, 0.0)
-        dpacked = rows.sum(axis=1)[:, :8 + c]
+        # Sort-based duplicate-free reduction back to per-splat grads: mask
+        # the never-walked sentinel rows, ONE single-key sort keyed on the
+        # expansion slot id (every gaussian then owns exactly mtpg
+        # consecutive rows), fixed-width reshape + sum per feature column.
+        e = sorig.shape[0]
+        n = e // mtpg
+        feat_cols = tuple(
+            jnp.where(real, dent_lane[f, :e], 0.0) for f in range(8 + c))
+        sorted_cols = jax.lax.sort((sorig,) + feat_cols, num_keys=1,
+                                   is_stable=False)[1:]
+        dpacked = jnp.stack(
+            [col.reshape(n, mtpg).sum(axis=1) for col in sorted_cols], axis=1)
         from jax import dtypes
 
         f0 = lambda x: np.zeros(x.shape, dtypes.float0)
-        return (dpacked, f0(idx_table), f0(starts), f0(counts), f0(inv_map))
+        return (dpacked, np.zeros((e_pad,), dtypes.float0), f0(starts),
+                f0(ends), f0(real), f0(sorig))
 
     comp.defvjp(comp_fwd, comp_bwd)
     return comp
@@ -456,26 +611,27 @@ def rasterize_pallas(
     t_total = tiles_x * tiles_y
     p = tile * tile
 
-    idx_table, starts, counts, inv_map = _sorted_entries(
+    gauss, starts, ends, real, sorig = _entry_stream(
         jax.lax.stop_gradient(splats), width, height, tile,
         max_tiles_per_gauss)
     packed = pack_splats(splats)
-    comp = _composite_fns(tiles_x, t_total, tile, c, interpret)
-    out = comp(packed, idx_table, starts, counts, inv_map)
+    comp = _composite_fns(tiles_x, t_total, tile, c, max_tiles_per_gauss,
+                          interpret)
+    out = comp(packed, gauss, starts, ends, real, sorig)
 
     def assemble(flat, channels):
-        img = flat.reshape(tiles_y, tiles_x, tile, tile, channels)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(
-            tiles_y * tile, tiles_x * tile, channels)
-        return img[:height, :width]
+        img = flat.reshape(tiles_y, tiles_x, channels, tile, tile)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            channels, tiles_y * tile, tiles_x * tile)
+        return img[:, :height, :width]
 
-    # Raw layout: packed feature accumulator (FEAT cols) + final
-    # transmittance. The kernel composites over black; bg is applied here
-    # (differentiable XLA), so bg may be a traced array.
-    img = assemble(out.reshape(t_total, p, FEAT + 1), FEAT + 1)
-    color = img[..., 8:8 + c].transpose(2, 0, 1)
-    alpha = 1.0 - img[..., FEAT]
+    # Raw layout: channel-major packed feature accumulator (FEAT rows) +
+    # final transmittance row. The kernel composites over black; bg is
+    # applied here (differentiable XLA), so bg may be a traced array.
+    img = assemble(out.reshape(t_total, FEAT + 1, p), FEAT + 1)
+    color = img[8:8 + c]
+    alpha = 1.0 - img[FEAT]
     if bg is not None:
         color = color + (1.0 - alpha)[None] * jnp.asarray(bg)[:, None, None]
-    return RasterOut(color=color, depth=img[..., 6], alpha=alpha,
+    return RasterOut(color=color, depth=img[6], alpha=alpha,
                      radii=splats.radius)

@@ -98,6 +98,16 @@ def _step_core(state: G.GaussianState, w2c, full_proj, cam_center, tanfovx,
             mse = ((out.color - gt_i) ** 2).mean()
             return loss, (ll1, mse, out.radii)
 
+        if b == 1:
+            # Direct call on the squeezed view: vmap's batching rules around
+            # the Pallas custom_vjp roughly double the whole fwd+bwd cost
+            # even at B=1 (measured 110 -> 218 ms per step at 131k splats).
+            # B > 1 keeps vmap — the view-sharded mesh paths rely on its
+            # batching semantics for the DP partitioning.
+            loss, (ll1, mse, radii) = one_view(
+                w2c[0], full_proj[0], cam_center[0], tanfovx[0], tanfovy[0],
+                gt_images[0])
+            return loss, (ll1, mse, radii)
         losses, (ll1s, mses, radii) = jax.vmap(one_view)(
             w2c, full_proj, cam_center, tanfovx, tanfovy, gt_images)
         return losses.mean(), (ll1s.mean(), mses.mean(), radii.max(axis=0))
