@@ -84,3 +84,37 @@ def test_pallas_gradients_match_xla():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-8
         assert np.abs(a - b).max() / scale < 0.02
+
+
+def test_pallas_entry_budget_slicing():
+    """A budget >= the real entry count reproduces the full-expansion
+    result exactly (fwd AND grads); the sliced stream only drops sentinel
+    slots."""
+    from wheat3dgs_tpu.ops import pallas_raster as PR
+
+    cam = testing.look_at_camera(width=64, height=48)
+    g = testing.random_gaussians(n=120, seed=7, spread=0.8)
+    s = testing.project_scene(g, cam, use_colors=True)
+    bg = jnp.array([0.3, 0.1, 0.2], jnp.float32)
+
+    def loss(opacity, budget):
+        s2 = s._replace(opacity=opacity)
+        out = rasterize_pallas(s2, 64, 48, bg, tile=16,
+                               max_tiles_per_gauss=16, entry_budget=budget,
+                               interpret=INTERPRET)
+        return (out.color.sum() + out.alpha.sum()), out
+
+    # real entries for this scene are well under 120*16; budget 1024 slices
+    # most of the sentinel tail.
+    _, out_full = loss(s.opacity, 0)
+    grad_full = jax.grad(lambda o: loss(o, 0)[0])(s.opacity)
+    _, out_b = loss(s.opacity, 1024)
+    grad_b = jax.grad(lambda o: loss(o, 1024)[0])(s.opacity)
+    np.testing.assert_allclose(np.asarray(out_b.color),
+                               np.asarray(out_full.color), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad_b), np.asarray(grad_full),
+                               atol=1e-6)
+
+    # An over-tight budget degrades gracefully (finite outputs, no crash).
+    _, out_tight = loss(s.opacity, 128)
+    assert np.isfinite(np.asarray(out_tight.color)).all()

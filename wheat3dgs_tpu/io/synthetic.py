@@ -102,7 +102,7 @@ def make_synthetic_colmap_scene(
 
     from ..models.gaussians import GaussianParams, init_state
     from ..ops.knn import knn_mean_sq_dist
-    from ..render.pipeline import RasterConfig, render_jit
+    from ..render.pipeline import RasterConfig, inference_config, render_jit
     from . import colmap
 
     rng = np.random.default_rng(seed)
@@ -133,8 +133,10 @@ def make_synthetic_colmap_scene(
     fovx = graphics.focal2fov(fx, width)
     fovy = graphics.focal2fov(fy, height)
     proj = graphics.projection_matrix(0.01, 100.0, fovx, fovy)
-    config = RasterConfig(max_tiles_per_gauss=32, max_per_tile=256,
-                          tile_batch=16)
+    # Pallas forward on TPU (the XLA padded path at synthesis capacity is
+    # ~10x slower for the dense generator scenes); CPU keeps the XLA path.
+    config = inference_config(RasterConfig(
+        max_tiles_per_gauss=32, max_per_tile=256, tile_batch=16))
 
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)

@@ -76,16 +76,22 @@ class GaussianState:
 
 
 def _round_capacity(n: int) -> int:
+    """Power-of-two up to 32k, then 32k steps: every per-Gaussian cost in
+    the Pallas prologue (expansion, sorts, gradient reduction) scales with
+    capacity * mtpg, so pow2 doubling's up-to-2x slack was measurably the
+    largest single waste at the 100k-1M splat scale."""
     cap = 1024
-    while cap < n:
+    while cap < n and cap < 32768:
         cap *= 2
-    return cap
+    if cap >= n:
+        return cap
+    return -(-n // 32768) * 32768
 
 
 def init_state(params: GaussianParams, instance_id=None,
                capacity: Optional[int] = None) -> GaussianState:
     n = params.means.shape[0]
-    cap = capacity or _round_capacity(int(n * 1.5))
+    cap = capacity or _round_capacity(int(n * 1.25))
     if cap < n:
         raise ValueError(f"capacity {cap} < {n} points")
 

@@ -121,6 +121,17 @@ def pick_mtpg(p99_area: int, ladder=MTPG_LADDER) -> int:
     return ladder[-1]
 
 
+def pick_entry_budget(total_entries: int, headroom: float = 1.5,
+                      floor: int = 1 << 17) -> int:
+    """Smallest power-of-two >= headroom * observed entry count (the Pallas
+    backend's sort-slice budget; see pallas_raster._sorted_stream)."""
+    need = max(float(floor), total_entries * headroom)
+    rung = floor
+    while rung < need:
+        rung *= 2
+    return rung
+
+
 def pick_max_per_tile(max_count: int, headroom: float = 1.3,
                       ladder=MAX_PER_TILE_LADDER) -> int:
     """Smallest ladder rung >= headroom * observed max tile occupancy."""

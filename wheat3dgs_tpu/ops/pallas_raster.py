@@ -5,13 +5,13 @@ so compute scales with the *max* tile occupancy. This kernel walks each
 tile's real entry list (mean occupancy is typically 10-60x below the max):
 
 - XLA prologue: EWA projection -> packed rows -> single-key sort on a
-  (tile << rank_bits | depth_rank) packed uint32 -> per-tile segment bounds
-  by searchsorted. Entries stay in COMPACT sorted order: the kernels walk
-  each tile's segment from its 128-aligned floor and mask the out-of-segment
-  lanes, so no padded entry table, no scatter, and no per-entry position
-  math exists anywhere (random-access scatters/gathers at entry scale cost
-  10-60 ms on TPU; everything here is sorts, fused elementwise ops and
-  monotone gathers);
+  (tile << rank_bits | depth_rank) packed uint32 -> budget slice (the
+  occupancy ladder caps the kept entries near the real entry count, ~10%
+  of the N*mtpg expansion slots) -> payload gather for the kept entries ->
+  per-tile segment bounds by searchsorted. Entries stay in COMPACT sorted
+  order: the kernels walk each tile's segment from its 128-aligned floor
+  and mask the out-of-segment lanes, so no padded entry table and no
+  scatters anywhere;
 - forward Pallas kernel, grid = one step per tile, per-tile segment bounds
   as prefetched scalars:
     while chunks remain AND transmittance > eps:
@@ -27,11 +27,11 @@ tile's real entry list (mean occupancy is typically 10-60x below the max):
   positions. Chunks straddling a tile boundary are accumulated through an
   in-VMEM carry (the sequential TPU grid makes the previous tile's partial
   available), so no atomics and no read-modify-write of HBM;
-- per-splat gradients via ONE single-key variadic sort keyed on the
-  expansion slot id (gauss * mtpg + slot): afterwards every gaussian owns
-  exactly mtpg consecutive rows -> fixed-width reshape + sum. A variadic
-  TPU sort costs ~4-5 ms at 2M entries nearly independent of payload width,
-  vs ~60 ms for the random-gather alternative.
+- per-splat gradients via ONE single-key variadic sort keyed on the FULL
+  expansion-slot permutation (sliced-away slots contribute zero-padded
+  rows): afterwards every gaussian owns exactly its mtpg consecutive slots
+  -> fixed-width reshape + sum. Pure sort + reshape: random-access gathers
+  or scatters at this scale measured 10-1000x slower than the sort.
 
 Numerics match ops/raster.py's composite_packed (same log-space
 transmittance); tests compare both against the naive golden model and the
@@ -63,16 +63,16 @@ FEAT = 16           # packed feature columns (8 geo + up to 8 color)
 LOG_T_EPS = math.log(T_EPS)
 
 
-def _entry_stream(splats: Splats2D, width: int, height: int, tile: int,
-                  max_tiles_per_gauss: int):
-    """Depth-ordered, tile-segmented entry stream in COMPACT sorted order.
+def _expand_keys(splats: Splats2D, width: int, height: int, tile: int,
+                 max_tiles_per_gauss: int):
+    """Per-expansion-slot sort keys (integer bookkeeping, non-differentiable).
 
-    Returns (gauss (E_pad,), starts (T,), ends (T,), real (E,), sorig (E,)):
-    gauss[i] = gaussian index of sorted entry i (padded tail repeats 0);
-    [starts[t], ends[t]) = tile t's segment; real marks in-tile entries
-    (False for the sentinel tail of expansion slots that cover no tile);
-    sorig[i] = expansion slot id (gauss * mtpg + slot) of sorted entry i,
-    the key of the backward's sort-based reduction.
+    Returns a tuple of key operands for the entry sort: a single packed
+    (tile << rank_bits | depth_rank) uint32 key (E,), or the (tile_id,
+    rank) pair when tile+rank bits overflow 32 on huge scenes. Expansion
+    slot (i, j) covers the j-th tile of gaussian i's (capped) screen rect;
+    slots past the rect count get the sentinel tile T (sorted last, never
+    walked by any tile segment).
     """
     n = splats.xy.shape[0]
     tiles_x, tiles_y = num_tiles(width, height, tile)
@@ -100,44 +100,72 @@ def _entry_stream(splats: Splats2D, width: int, height: int, tile: int,
     valid = slots[None, :] < count[:, None]
     tile_id = jnp.where(valid, tile_id, t_total)
 
-    e = n * mtpg
-    orig_pos = jnp.arange(e, dtype=jnp.int32)
-    tile_bits = max(1, math.ceil(math.log2(t_total + 1)))
-    rank_bits = 32 - tile_bits
+    rank_bits = _rank_bits(t_total)
     if n <= (1 << rank_bits):
-        # Packed single-key sort: (tile | depth-rank) in one uint32 — ~2x
-        # faster than the 2-key multi-operand variant at entry scale.
         key = ((tile_id.astype(jnp.uint32) << rank_bits)
                | rank.astype(jnp.uint32)[:, None]).ravel()
-        skey, sorig = jax.lax.sort((key, orig_pos), num_keys=1,
-                                   is_stable=False)
-        sorted_tile = (skey >> rank_bits).astype(jnp.int32)
-    else:  # huge scenes: tile+rank bits overflow 32 — two-key fallback
-        ranks = jnp.broadcast_to(rank[:, None], (n, mtpg))
-        sorted_tile, _, sorig = jax.lax.sort(
-            (tile_id.ravel(), ranks.ravel(), orig_pos), num_keys=2,
-            is_stable=False)
-
-    tids = jnp.arange(t_total, dtype=sorted_tile.dtype)
-    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
-
-    gauss = sorig // mtpg
-    e_pad = -(-e // CHUNK) * CHUNK
-    if e_pad > e:  # aligned tail so the last tile's chunk walk stays in range
-        gauss = jnp.pad(gauss, (0, e_pad - e))
-    return gauss, starts, ends, sorted_tile < t_total, sorig
+        return (key,)
+    ranks = jnp.broadcast_to(rank[:, None], (n, mtpg))
+    return (tile_id.ravel(), ranks.ravel())
 
 
-def _entry_table(packed: jnp.ndarray, gauss: jnp.ndarray) -> jnp.ndarray:
-    """(FEAT, E_pad) lane-major gathered rows (fused gather+pad+transpose).
+def _rank_bits(t_total: int) -> int:
+    return 32 - max(1, math.ceil(math.log2(t_total + 1)))
 
-    No masking: sentinel-tail entries are never inside any tile segment, so
-    their (real, harmless) rows are never read by the kernels.
+
+def _sorted_stream(packed: jnp.ndarray, keys, t_total: int, mtpg: int,
+                   c: int, budget: int = 0):
+    """Two-phase budgeted entry stream.
+
+    Phase 1: sort ONLY (key, expansion slot id) over the full N*mtpg
+    expansion — in-context TPU sort cost scales strongly with operand count
+    (~3 ms per extra f32 payload column at 4M entries), so the payload does
+    NOT ride this sort. Phase 2: slice the first `budget` sorted entries
+    (real in-tile entries sort before the sentinel tail, and are typically
+    ~10% of the expansion slots: capacity slack + the mtpg cap padding make
+    up the rest), then gather the 8+c packed feature columns for the sliced
+    entries only.
+
+    `budget` (CHUNK-aligned, 0 = full expansion) comes from the occupancy
+    ladder with headroom; when the real entry count exceeds it, the
+    highest-tile-id entries are dropped (bottom image tiles lose splats) —
+    callers re-probe every densify event so the rung always has headroom.
+
+    Returns (entries_lane (FEAT, budget) lane-major, starts (T,), ends (T,),
+    real (budget,) bool, sorig (budget,), sorig_full (N*mtpg,) — the FULL
+    slot permutation, the backward reduction's sort key).
     """
-    c = packed.shape[1] - 8
-    packed = jnp.pad(packed, ((0, 0), (0, FEAT - 8 - c)))
-    return packed[gauss].T
+    n = packed.shape[0]
+    e = n * mtpg
+    orig = jnp.arange(e, dtype=jnp.int32)
+    if len(keys) == 1:
+        skey, sorig = jax.lax.sort((keys[0], orig), num_keys=1,
+                                   is_stable=False)
+        stile = (skey >> _rank_bits(t_total)).astype(jnp.int32)
+    else:  # huge scenes: (tile, rank) two-key fallback
+        stile, _, sorig = jax.lax.sort(keys + (orig,), num_keys=2,
+                                       is_stable=False)
+
+    sorig_full = sorig                         # full permutation of slots
+    e_budget = -(-min(budget, e) // CHUNK) * CHUNK if budget else \
+        -(-e // CHUNK) * CHUNK
+    if e_budget < e:
+        stile = stile[:e_budget]
+        sorig = sorig[:e_budget]
+    elif e_budget > e:  # aligned tail so the chunk walk stays in range
+        stile = jnp.pad(stile, (0, e_budget - e),
+                        constant_values=t_total)
+        sorig = jnp.pad(sorig, (0, e_budget - e))
+
+    tids = jnp.arange(t_total, dtype=stile.dtype)
+    starts = jnp.searchsorted(stile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(stile, tids, side="right").astype(jnp.int32)
+
+    cpad = FEAT - 8 - c
+    if cpad:
+        packed = jnp.pad(packed, ((0, 0), (0, cpad)))
+    entries_lane = packed[sorig // mtpg].T            # (FEAT, budget)
+    return entries_lane, starts, ends, stile < t_total, sorig, sorig_full
 
 
 def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
@@ -480,12 +508,15 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 
 @functools.lru_cache(maxsize=64)
 def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
-                   mtpg: int, interpret: bool):
-    """custom_vjp'd (packed, gauss, starts, ends, real, sorig) ->
-    raw per-tile accumulators (T, P, FEAT+1): full feature sums + final
-    transmittance. Background is applied by the caller (differentiable XLA),
-    which keeps the kernels bg-free and lets the backward recover its suffix
-    total A = g . acc without a replay pass."""
+                   mtpg: int, two_key: bool, n_rows: int, budget: int,
+                   interpret: bool):
+    """custom_vjp'd (packed, *keys) -> raw per-tile accumulators
+    (T, FEAT+1, P): full feature sums + final transmittance row. The entry
+    sort (with the packed columns as payload) runs inside, so the backward
+    can map entry gradients to packed rows without any random access.
+    Background is applied by the caller (differentiable XLA), which keeps
+    the kernels bg-free and lets the backward recover its suffix total
+    A = g . acc without a replay pass."""
     p = tile * tile
     r_batch = 8                      # tiles per grid step (overhead amortizer)
     n_steps = -(-t_total // r_batch)
@@ -515,18 +546,21 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
         return out[:t_total]
 
     @jax.custom_vjp
-    def comp(packed, gauss, starts, ends, real, sorig):
-        return run_fwd(_entry_table(packed, gauss), starts, ends)
+    def comp(packed, *keys):
+        entries_lane, starts, ends, _, _, _ = _sorted_stream(
+            packed, keys, t_total, mtpg, c, budget)
+        return run_fwd(entries_lane, starts, ends)
 
-    def comp_fwd(packed, gauss, starts, ends, real, sorig):
-        # The entry table is both the forward input and the backward's replay
-        # data — keep it as a residual instead of re-gathering.
-        entries_lane = _entry_table(packed, gauss)
+    def comp_fwd(packed, *keys):
+        # The sorted entry table is both the forward input and the
+        # backward's replay data — keep it as a residual.
+        entries_lane, starts, ends, real, sorig, sorig_full = _sorted_stream(
+            packed, keys, t_total, mtpg, c, budget)
         out = run_fwd(entries_lane, starts, ends)
-        return out, (entries_lane, starts, ends, real, sorig, out)
+        return out, (entries_lane, starts, ends, real, sorig_full, out)
 
     def comp_bwd(res, g):
-        entries_lane, starts, ends, real, sorig, out = res
+        entries_lane, starts, ends, real, sorig_full, out = res
         e_pad = entries_lane.shape[1]
         # g is the cotangent of the RAW output (acc rows + t_final row,
         # channel-major (T, FEAT+1, P)). Suffix total per pixel, EXACTLY
@@ -573,23 +607,30 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
             interpret=interpret,
         )(starts, ends, entries_lane, g, aux, dzero)
 
-        # Sort-based duplicate-free reduction back to per-splat grads: mask
-        # the never-walked sentinel rows, ONE single-key sort keyed on the
-        # expansion slot id (every gaussian then owns exactly mtpg
-        # consecutive rows), fixed-width reshape + sum per feature column.
-        e = sorig.shape[0]
-        n = e // mtpg
-        feat_cols = tuple(
-            jnp.where(real, dent_lane[f, :e], 0.0) for f in range(8 + c))
-        sorted_cols = jax.lax.sort((sorig,) + feat_cols, num_keys=1,
-                                   is_stable=False)[1:]
+        # Sort-based duplicate-free reduction back to per-splat grads.
+        # Gathers and scatters with computed indices run 10-1000x slower
+        # than sorts at this scale (measured repeatedly), so the reduction
+        # is PURE sort + reshape: pad the budget-sliced gradient columns
+        # back to the full N*mtpg expansion (dropped slots contribute
+        # zeros), ONE single-key sort keyed on the full slot permutation
+        # (every gaussian then owns exactly its mtpg consecutive expansion
+        # slots), fixed-width reshape + sum per feature column.
+        e_full = sorig_full.shape[0]
+        m = min(real.shape[0], e_full)   # dent may carry an aligned tail
+        cols = tuple(
+            jnp.pad(jnp.where(real[:m], dent_lane[f, :m], 0.0),
+                    (0, e_full - m)) for f in range(8 + c))
+        sorted_ = jax.lax.sort((sorig_full,) + cols, num_keys=1,
+                               is_stable=False)
         dpacked = jnp.stack(
-            [col.reshape(n, mtpg).sum(axis=1) for col in sorted_cols], axis=1)
+            [col.reshape(n_rows, mtpg).sum(axis=1) for col in sorted_[1:]],
+            axis=1)
         from jax import dtypes
 
-        f0 = lambda x: np.zeros(x.shape, dtypes.float0)
-        return (dpacked, np.zeros((e_pad,), dtypes.float0), f0(starts),
-                f0(ends), f0(real), f0(sorig))
+        key_zeros = tuple(
+            np.zeros((e_full,), dtypes.float0)
+            for _ in range(2 if two_key else 1))
+        return (dpacked,) + key_zeros
 
     comp.defvjp(comp_fwd, comp_bwd)
     return comp
@@ -602,22 +643,30 @@ def rasterize_pallas(
     bg: Optional[jnp.ndarray] = None,
     tile: int = TILE,
     max_tiles_per_gauss: int = 16,
+    entry_budget: int = 0,
     interpret: bool = False,
 ) -> RasterOut:
-    """Differentiable Pallas rasterization (custom_vjp backward kernel)."""
+    """Differentiable Pallas rasterization (custom_vjp backward kernel).
+
+    entry_budget: static cap on sorted entries kept for compositing
+    (0 = the full N*mtpg expansion). The occupancy ladder picks it with
+    headroom over the real entry count; all post-sort work (payload
+    gather, kernels, gradient reduction) scales with it instead of with
+    capacity * mtpg.
+    """
     c = splats.color.shape[1]
     assert c <= FEAT - 8, f"at most {FEAT - 8} color channels"
     tiles_x, tiles_y = num_tiles(width, height, tile)
     t_total = tiles_x * tiles_y
     p = tile * tile
 
-    gauss, starts, ends, real, sorig = _entry_stream(
-        jax.lax.stop_gradient(splats), width, height, tile,
-        max_tiles_per_gauss)
+    keys = _expand_keys(jax.lax.stop_gradient(splats), width, height, tile,
+                        max_tiles_per_gauss)
     packed = pack_splats(splats)
     comp = _composite_fns(tiles_x, t_total, tile, c, max_tiles_per_gauss,
-                          interpret)
-    out = comp(packed, gauss, starts, ends, real, sorig)
+                          len(keys) == 2, splats.xy.shape[0],
+                          int(entry_budget), interpret)
+    out = comp(packed, *keys)
 
     def assemble(flat, channels):
         img = flat.reshape(tiles_y, tiles_x, channels, tile, tile)

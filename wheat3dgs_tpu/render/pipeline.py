@@ -34,6 +34,9 @@ class RasterConfig:
     max_per_tile: int = 512
     tile_batch: int = 64
     backend: str = "xla"
+    # Pallas backend: static cap on sorted entries kept for compositing
+    # (0 = full N*mtpg expansion). Managed by the occupancy ladder.
+    entry_budget: int = 0
 
 
 def inference_config(config: RasterConfig = RasterConfig()) -> RasterConfig:
@@ -87,7 +90,8 @@ def render(
 
         out = rasterize_pallas(
             splats, width, height, bg, tile=32,
-            max_tiles_per_gauss=config.max_tiles_per_gauss)
+            max_tiles_per_gauss=config.max_tiles_per_gauss,
+            entry_budget=config.entry_budget)
     else:
         out = raster_ops.rasterize(
             splats, width, height, bg, tile=config.tile,
@@ -112,7 +116,8 @@ def adapt_config(state: GaussianState, cam, width: int, height: int,
     real occupancy (see ops/binning.py ladder notes)."""
     import functools
 
-    from ..ops.binning import count_tiles, pick_max_per_tile
+    from ..ops.binning import (count_tiles, pick_entry_budget,
+                               pick_max_per_tile)
 
     @functools.partial(jax.jit, static_argnames=("width", "height", "tile",
                                                  "mtpg"))
@@ -123,10 +128,16 @@ def adapt_config(state: GaussianState, cam, width: int, height: int,
             state.opacity(), w2c, full_proj, cam_center, tanfovx, tanfovy,
             width, height,
             colors=jnp.zeros((state.capacity, 1), jnp.float32))
-        return count_tiles(splats, width, height, tile, mtpg).max()
+        counts = count_tiles(splats, width, height, tile, mtpg)
+        return counts.max(), counts.sum()
 
-    max_count = int(probe(state, *cam, width=width, height=height,
-                          tile=config.tile,
-                          mtpg=config.max_tiles_per_gauss))
-    mpt = pick_max_per_tile(max_count, headroom=headroom)
+    probe_tile = 32 if config.backend == "pallas" else config.tile
+    max_count, total = probe(state, *cam, width=width, height=height,
+                             tile=probe_tile,
+                             mtpg=config.max_tiles_per_gauss)
+    if config.backend == "pallas":
+        return dataclasses.replace(
+            config, entry_budget=pick_entry_budget(int(total),
+                                                   headroom=headroom))
+    mpt = pick_max_per_tile(int(max_count), headroom=headroom)
     return dataclasses.replace(config, max_per_tile=mpt)

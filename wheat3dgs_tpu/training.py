@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from .config import OptimizationParams
 from .models import gaussians as G
 from .models.optim import adam_step
-from .ops.binning import (capped_rect, count_tiles, num_tiles, pick_mtpg,
-                          pick_max_per_tile)
+from .ops.binning import (capped_rect, count_tiles, num_tiles,
+                          pick_entry_budget, pick_mtpg, pick_max_per_tile)
 from .ops.losses import l1_loss, ssim
 from .ops.projection import project_gaussians
 from .render.pipeline import RasterConfig, render
@@ -47,7 +47,9 @@ def occupancy_probe(state: "G.GaussianState", w2c, full_proj, cam_center,
         state.params.means, state.scales(), state.params.quats,
         state.opacity(), w2c, full_proj, cam_center, tanfovx, tanfovy,
         width, height, colors=jnp.zeros((state.capacity, 1), jnp.float32))
-    max_count = count_tiles(splats, width, height, tile, mtpg).max()
+    counts = count_tiles(splats, width, height, tile, mtpg)
+    max_count = counts.max()
+    total_entries = counts.sum()
     # p99 of per-splat tile footprints (uncapped spans) for the mtpg ladder.
     tiles_x, tiles_y = num_tiles(width, height, tile)
     _, _, sx, sy, _ = capped_rect(splats, tiles_x, tiles_y, tile, 1 << 30)
@@ -56,7 +58,7 @@ def occupancy_probe(state: "G.GaussianState", w2c, full_proj, cam_center,
     p99 = jnp.sort(areas)[jnp.minimum(
         areas.shape[0] - 1,
         areas.shape[0] - 1 - (visible // 100).astype(jnp.int32))]
-    return max_count, jnp.maximum(p99, 1)
+    return max_count, jnp.maximum(p99, 1), total_entries
 
 
 def lr_tree(params: G.GaussianParams, it, opt: OptimizationParams, extent):
@@ -208,22 +210,35 @@ class Trainer:
             jnp.zeros(3, jnp.float32)
 
     def _refresh_occupancy(self, cam, width: int, height: int) -> None:
-        """Re-pick max_per_tile from real occupancy (called at start + after
-        every densify/prune/capacity event, NOT per step)."""
-        max_count, p99_area = occupancy_probe(
+        """Re-pick max_per_tile / mtpg / entry budget from real occupancy
+        (called at start + after every densify/prune/capacity event, NOT
+        per step)."""
+        # The Pallas backend composites on 32px tiles internally; probe at
+        # the tile size whose occupancy actually drives its budget.
+        probe_tile = 32 if self.config.backend == "pallas" else \
+            self.config.tile
+        max_count, p99_area, total_entries = occupancy_probe(
             self.state, *cam, width=width, height=height,
-            tile=self.config.tile, mtpg=self.config.max_tiles_per_gauss)
+            tile=probe_tile, mtpg=self.config.max_tiles_per_gauss)
         mtpg = pick_mtpg(int(p99_area))
-        # The Pallas backend walks real per-tile counts, so max_per_tile is
-        # irrelevant to it — changing it would only force a needless re-jit.
         if self.config.backend == "pallas":
+            # max_per_tile is irrelevant to the Pallas kernels (they walk
+            # real per-tile counts) — changing it would only force a
+            # needless re-jit. The entry budget caps the post-sort stream;
+            # monotone nondecreasing to avoid re-jit thrash around opacity
+            # resets.
             mpt = self.config.max_per_tile
+            budget = max(self.config.entry_budget,
+                         pick_entry_budget(int(total_entries)))
         else:
             mpt = pick_max_per_tile(int(max_count), headroom=1.5)
+            budget = self.config.entry_budget
         if (mpt != self.config.max_per_tile
-                or mtpg != self.config.max_tiles_per_gauss):
+                or mtpg != self.config.max_tiles_per_gauss
+                or budget != self.config.entry_budget):
             self.config = dataclasses.replace(
-                self.config, max_per_tile=mpt, max_tiles_per_gauss=mtpg)
+                self.config, max_per_tile=mpt, max_tiles_per_gauss=mtpg,
+                entry_budget=budget)
         self._occupancy_due = False
 
     def step(self, it: int, cam, gt_image, width: int, height: int):
@@ -259,7 +274,10 @@ class Trainer:
                 if int(info["n_dropped"]) > 0 or (
                         int(info["n_alive"]) > 0.9 * self.state.capacity):
                     self.state = G.grow_capacity(
-                        self.state, self.state.capacity * 2)
+                        self.state,
+                        max(G._round_capacity(
+                                int(1.3 * int(info["n_alive"]))),
+                            self.state.capacity + 32768))
                 self._occupancy_due = True
             # Reset schedule incl. the white-background early reset
             # (reference train_vanilla_3dgs.py:109-110).
