@@ -79,6 +79,9 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
         img1, img2 = img1[None], img2[None]
     window = _gaussian_window(window_size, 1.5)  # static taps
 
+    # NOTE: batching the 5 blurs over a concatenated (5B, C, H, W) tensor
+    # measured ~9 ms SLOWER in the fused train step (the concat
+    # materializes copies XLA otherwise elides) — keep separate calls.
     mu1 = _depthwise_blur(img1, window)
     mu2 = _depthwise_blur(img2, window)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -617,14 +617,34 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
         # slots), fixed-width reshape + sum per feature column.
         e_full = sorig_full.shape[0]
         m = min(real.shape[0], e_full)   # dent may carry an aligned tail
-        cols = tuple(
+        cols = [
             jnp.pad(jnp.where(real[:m], dent_lane[f, :m], 0.0),
-                    (0, e_full - m)) for f in range(8 + c))
-        sorted_ = jax.lax.sort((sorig_full,) + cols, num_keys=1,
+                    (0, e_full - m)) for f in range(8 + c)]
+        # Pack column pairs as bf16 halves of one uint32 sort operand: the
+        # reduction sort's cost scales with operand count AND bandwidth, so
+        # this roughly halves it. Per-entry gradients round to bf16 BEFORE
+        # the <= mtpg-way sum (~0.4% relative error — far below SGD noise;
+        # the backend gradient-parity tests bound it).
+        if len(cols) % 2:
+            cols.append(jnp.zeros_like(cols[0]))
+        pairs = tuple(
+            jax.lax.bitcast_convert_type(
+                cols[i].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            | (jax.lax.bitcast_convert_type(
+                cols[i + 1].astype(jnp.bfloat16),
+                jnp.uint16).astype(jnp.uint32) << 16)
+            for i in range(0, len(cols), 2))
+        sorted_ = jax.lax.sort((sorig_full,) + pairs, num_keys=1,
                                is_stable=False)
+        unpacked = []
+        for w in sorted_[1:]:
+            unpacked.append(jax.lax.bitcast_convert_type(
+                (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16))
+            unpacked.append(jax.lax.bitcast_convert_type(
+                (w >> 16).astype(jnp.uint16), jnp.bfloat16))
         dpacked = jnp.stack(
-            [col.reshape(n_rows, mtpg).sum(axis=1) for col in sorted_[1:]],
-            axis=1)
+            [col.astype(jnp.float32).reshape(n_rows, mtpg).sum(axis=1)
+             for col in unpacked[:8 + c]], axis=1)
         from jax import dtypes
 
         key_zeros = tuple(
