@@ -128,7 +128,8 @@ def main():
     from wheat3dgs_tpu.render.pipeline import adapt_config, inference_config
 
     rcams = cams[0]
-    config = inference_config(adapt_config(trainer.state, rcams, w, h, config))
+    config = adapt_config(trainer.state, rcams, w, h,
+                          inference_config(config))
     out = render_jit(trainer.state, *rcams, w, h, sh_degree=3, config=config)
     jax.block_until_ready(out.color)
     t0 = time.time()

@@ -63,6 +63,10 @@ def render_sets(model: cfg.ModelParams, exp_name: str, skip_train: bool,
     bg = jnp.ones(3, jnp.float32) if model.white_background else \
         jnp.zeros(3, jnp.float32)
     w, h = scene.image_size
+    from ..render.pipeline import adapt_config, inference_config
+
+    config = adapt_config(scene.gaussians, scene.cam_arrays("train", 0),
+                          w, h, inference_config(config))
 
     if load_counts:
         all_counts = load_pt(os.path.join(base, "all_counts.pt"))

@@ -38,8 +38,11 @@ def render_set(scene: Scene, split: str, iteration: int, sh_degree: int,
     os.makedirs(renders_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
     w, h = group.cameras.width, group.cameras.height
-    config = inference_config(adapt_config(
-        scene.gaussians, scene.cam_arrays(split, 0), w, h, config))
+    # Flip to the TPU backend FIRST so adapt_config tunes the knobs the
+    # Pallas path actually uses (mtpg rung + entry budget, not max_per_tile).
+    config = adapt_config(
+        scene.gaussians, scene.cam_arrays(split, 0), w, h,
+        inference_config(config))
     for i in range(n):
         out = render_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
                      sh_degree=sh_degree, bg=bg, config=config)

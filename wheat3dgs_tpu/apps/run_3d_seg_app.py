@@ -56,7 +56,12 @@ def main(argv=None):
     scene = Scene(model, load_iteration=args.load_iteration, shuffle=False)
     print(f"Loaded iteration {scene.loaded_iter}: "
           f"{int(scene.gaussians.num_alive)} Gaussians")
-    config = RasterConfig(max_per_tile=args.max_per_tile)
+    from ..render.pipeline import adapt_config, inference_config
+
+    w0, h0 = scene.image_size
+    config = adapt_config(
+        scene.gaussians, scene.cam_arrays("train", 0), w0, h0,
+        inference_config(RasterConfig(max_per_tile=args.max_per_tile)))
     ctx = build_context(scene, config)
 
     test_group = scene.data.test

@@ -151,7 +151,13 @@ def make_synthetic_colmap_scene(
     extr = {}
     manifest = {"images": [], "n_points": n, "n_heads": n_heads}
     for i, (qvec, tvec) in enumerate(cams):
-        name = f"plot_{plot_id:03d}_{i + 1:02d}.png"
+        # >12 ring positions cycle the FIP camera labels 1..12 (the split
+        # rule keys on the LAST underscore token: cam > 10 => test), giving
+        # the reference's 30 train / 6 test layout at 36 views.
+        if n_cams <= 12:
+            name = f"plot_{plot_id:03d}_{i + 1:02d}.png"
+        else:
+            name = f"plot_{plot_id:03d}_r{i // 12}_{(i % 12) + 1:02d}.png"
         image_name = name[:-4]
         extr[i + 1] = colmap.ColmapImage(
             i + 1, qvec, tvec, 1, name, np.zeros((0, 2)), np.zeros(0, np.int64))

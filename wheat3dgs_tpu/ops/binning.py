@@ -107,9 +107,14 @@ def count_tiles(splats: Splats2D, width: int, height: int, tile: int = TILE,
 
 
 MAX_PER_TILE_LADDER = (128, 256, 512, 1024, 2048, 4096)
-# Capped at 16: rungs above it cost more in sort/gather than the cropped
-# >p99 outliers cost in quality (they are transient, low-opacity splats).
-MTPG_LADDER = (4, 8, 16)
+# Cap 32: long post-densify training legitimately grows grazing-angle
+# ground splats past 16 tiles of 32px; cropping them biases the gradients
+# (the splat's rendered mass is less than the EWA math expects, so the
+# optimizer inflates it further — measured as a runaway footprint bloat
+# and a 7+ dB render loss on 30k-iter models). With the budget-sliced
+# entry stream only the reduction sort scales with mtpg, so rung 32 costs
+# ~10 ms only when actually needed.
+MTPG_LADDER = (4, 8, 16, 32)
 
 
 def pick_mtpg(p99_area: int, ladder=MTPG_LADDER) -> int:

@@ -132,12 +132,21 @@ def adapt_config(state: GaussianState, cam, width: int, height: int,
         return counts.max(), counts.sum()
 
     probe_tile = 32 if config.backend == "pallas" else config.tile
+    if config.backend == "pallas":
+        # Probe footprints + entry count at the ladder-max expansion and
+        # adapt both the mtpg rung (frozen rungs crop bloated splats and
+        # bias long runs) and the entry budget.
+        from ..ops.binning import MTPG_LADDER, pick_mtpg
+        from ..training import occupancy_probe
+
+        _, p99, total = occupancy_probe(
+            state, *cam, width=width, height=height, tile=probe_tile,
+            mtpg=MTPG_LADDER[-1])
+        return dataclasses.replace(
+            config, max_tiles_per_gauss=pick_mtpg(int(p99)),
+            entry_budget=pick_entry_budget(int(total), headroom=headroom))
     max_count, total = probe(state, *cam, width=width, height=height,
                              tile=probe_tile,
                              mtpg=config.max_tiles_per_gauss)
-    if config.backend == "pallas":
-        return dataclasses.replace(
-            config, entry_budget=pick_entry_budget(int(total),
-                                                   headroom=headroom))
     mpt = pick_max_per_tile(int(max_count), headroom=headroom)
     return dataclasses.replace(config, max_per_tile=mpt)

@@ -214,12 +214,17 @@ class Trainer:
         (called at start + after every densify/prune/capacity event, NOT
         per step)."""
         # The Pallas backend composites on 32px tiles internally; probe at
-        # the tile size whose occupancy actually drives its budget.
+        # the tile size whose occupancy actually drives its budget, and at
+        # the LADDER MAX expansion so the entry budget already covers the
+        # count a raised mtpg rung will produce.
+        from .ops.binning import MTPG_LADDER
         probe_tile = 32 if self.config.backend == "pallas" else \
             self.config.tile
+        probe_mtpg = MTPG_LADDER[-1] if self.config.backend == "pallas" \
+            else self.config.max_tiles_per_gauss
         max_count, p99_area, total_entries = occupancy_probe(
             self.state, *cam, width=width, height=height,
-            tile=probe_tile, mtpg=self.config.max_tiles_per_gauss)
+            tile=probe_tile, mtpg=probe_mtpg)
         mtpg = pick_mtpg(int(p99_area))
         if self.config.backend == "pallas":
             # max_per_tile is irrelevant to the Pallas kernels (they walk
@@ -263,6 +268,13 @@ class Trainer:
     def maybe_densify(self, it: int) -> Optional[dict]:
         opt = self.opt
         info = None
+        # Keep the occupancy ladder fresh for the WHOLE run: post-densify
+        # optimization still moves/inflates splats, and a frozen entry
+        # budget or mtpg rung silently crops renders once exceeded
+        # (measured: a 30k-iter run ended 7+ dB below its own splats'
+        # renders under refreshed rungs).
+        if it % opt.densification_interval == 0:
+            self._occupancy_due = True
         if it < opt.densify_until_iter:
             if (it > opt.densify_from_iter
                     and it % opt.densification_interval == 0):

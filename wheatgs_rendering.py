@@ -11,7 +11,8 @@ from argparse import ArgumentParser
 import numpy as np
 
 from wheat3dgs_tpu import config as cfg
-from wheat3dgs_tpu.render.pipeline import RasterConfig, inference_config
+from wheat3dgs_tpu.render.pipeline import (RasterConfig, adapt_config,
+                                            inference_config)
 from wheat3dgs_tpu.scene import Scene
 from wheat3dgs_tpu.viewer import ViewerState, serve
 
@@ -60,7 +61,9 @@ def build_viewer(argv=None, with_overlay=True):
         height=args.height, obj_labels=obj_labels, camera_names=names,
         camera_poses=poses,
         scale_filter=None if args.no_scale_filter else 0.1,
-        config=inference_config(RasterConfig()))
+        config=adapt_config(
+            scene.gaussians, scene.cam_arrays("train", 0),
+            args.width, args.height, inference_config(RasterConfig())))
     return vs, args
 
 
