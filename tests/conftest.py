@@ -24,3 +24,28 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: raster compiles dominate test wall time otherwise.
 jax.config.update("jax_compilation_cache_dir", "/tmp/wheat3dgs_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full suite; ~18 min)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long interpret-mode kernel / end-to-end tests "
+        "(skipped by default; enable with --runslow or "
+        "WHEAT3DGS_FULL_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if config.getoption("--runslow") or os.environ.get(
+            "WHEAT3DGS_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow for the full suite")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

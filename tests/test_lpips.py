@@ -153,3 +153,45 @@ def test_metrics_app_emits_lpips_with_weights(weights, tmp_path):
     assert results["ours_100"]["LPIPS"] > 0.0
     with open(tmp_path / "model" / "results.json") as f:
         assert json.load(f)["ours_100"]["LPIPS"] > 0.0
+
+
+def test_convert_lpips_weights_roundtrip(weights, tmp_path):
+    """scripts/convert_lpips_weights.py: a torch-saved VGG16 state dict +
+    lin-head checkpoint converts to an npz that load_lpips scores
+    identically to the directly-written weights file."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "scripts")
+    try:
+        from convert_lpips_weights import convert
+    finally:
+        sys.path.pop(0)
+    from wheat3dgs_tpu.ops.lpips import load_lpips
+
+    path, arrs = weights
+    vgg_sd = {k: torch.from_numpy(v) for k, v in arrs.items()
+              if k.startswith("features.")}
+    lin_sd = {k: torch.from_numpy(v) for k, v in arrs.items()
+              if k.startswith("lin")}
+    vgg_pth = tmp_path / "vgg16.pth"
+    lin_pth = tmp_path / "lin.pth"
+    torch.save(vgg_sd, vgg_pth)
+    torch.save(lin_sd, lin_pth)
+
+    out_npz = tmp_path / "converted.npz"
+    convert(str(vgg_pth), str(lin_pth), str(out_npz))
+
+    rng = np.random.default_rng(5)
+    x = rng.random((3, 24, 24), np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape).astype(np.float32), 0, 1)
+    ref = float(load_lpips(path)(x, y))
+    got = float(load_lpips(str(out_npz))(x, y))
+    assert got == pytest.approx(ref, rel=1e-6)
+
+    # --lin none produces all-ones heads (valid schema, different score).
+    out2 = tmp_path / "noline.npz"
+    convert(str(vgg_pth), None, str(out2))
+    val = float(load_lpips(str(out2))(x, y))
+    assert np.isfinite(val) and val > 0.0

@@ -138,6 +138,7 @@ def test_reset_opacity():
     assert (np.asarray(new.adam.mu.opacity_logit) == 0).all()
 
 
+@pytest.mark.slow
 def test_training_smoke_loss_decreases():
     """End-to-end: fit a tiny random scene; PSNR must improve markedly."""
     cam = testing.look_at_camera(width=48, height=32)

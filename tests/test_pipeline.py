@@ -86,6 +86,7 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(state.alive))
 
 
+@pytest.mark.slow
 def test_train_render_metrics_cli(scene_dir, tmp_path):
     from wheat3dgs_tpu.apps.metrics_app import main as metrics_main
     from wheat3dgs_tpu.apps.render_sets import main as render_main

@@ -10,6 +10,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 
 def _make_plots(base, pids, **kw):
@@ -26,6 +27,7 @@ def _read_log(model_base):
         return [json.loads(line) for line in f]
 
 
+@pytest.mark.slow
 def test_train_multi_two_plots(tmp_path):
     from wheat3dgs_tpu.apps.train_multi import main as multi_main
 
@@ -50,6 +52,7 @@ def test_train_multi_two_plots(tmp_path):
         assert os.path.exists(ply)
 
 
+@pytest.mark.slow
 def test_train_multi_divergent_densify_and_capacity_growth(tmp_path):
     """Plots of very different sizes: an aggressive densify threshold must
     overflow the shared capacity (n_alive > the initial 1024-slot rounding)

@@ -65,8 +65,12 @@ def render_sets(model: cfg.ModelParams, exp_name: str, skip_train: bool,
     w, h = scene.image_size
     from ..render.pipeline import adapt_config, inference_config
 
+    probe_cams = [
+        scene.cam_arrays(s, i)
+        for s, grp in (("train", scene.data.train), ("test", scene.data.test))
+        for i in range(len(grp.metas))]
     config = adapt_config(scene.gaussians, scene.cam_arrays("train", 0),
-                          w, h, inference_config(config))
+                          w, h, inference_config(config), cams=probe_cams)
 
     if load_counts:
         all_counts = load_pt(os.path.join(base, "all_counts.pt"))

@@ -39,10 +39,12 @@ def render_set(scene: Scene, split: str, iteration: int, sh_degree: int,
     os.makedirs(gt_dir, exist_ok=True)
     w, h = group.cameras.width, group.cameras.height
     # Flip to the TPU backend FIRST so adapt_config tunes the knobs the
-    # Pallas path actually uses (mtpg rung + entry budget, not max_per_tile).
+    # Pallas path actually uses; probe the entry budget over ALL views of
+    # the split so no view's render can silently crop entries.
     config = adapt_config(
         scene.gaussians, scene.cam_arrays(split, 0), w, h,
-        inference_config(config))
+        inference_config(config),
+        cams=[scene.cam_arrays(split, i) for i in range(n)])
     for i in range(n):
         out = render_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
                      sh_degree=sh_degree, bg=bg, config=config)

@@ -59,9 +59,11 @@ def main(argv=None):
     from ..render.pipeline import adapt_config, inference_config
 
     w0, h0 = scene.image_size
+    n_train = len(scene.data.train.metas)
     config = adapt_config(
         scene.gaussians, scene.cam_arrays("train", 0), w0, h0,
-        inference_config(RasterConfig(max_per_tile=args.max_per_tile)))
+        inference_config(RasterConfig(max_per_tile=args.max_per_tile)),
+        cams=[scene.cam_arrays("train", i) for i in range(n_train)])
     ctx = build_context(scene, config)
 
     test_group = scene.data.test

@@ -22,8 +22,12 @@ from ..utils import graphics
 
 
 def _scene_points(rng: np.ndarray, n_heads: int, pts_per_head: int,
-                  ground_pts: int):
-    """Returns (points, colors, head_id) with head_id 0 = ground."""
+                  ground_pts: int, head_centers=None):
+    """Returns (points, colors, head_id) with head_id 0 = ground.
+
+    head_centers: optional (n_heads, 2) xy positions — lets experiments
+    place ADJACENT heads deliberately (merge/overlap regression fixtures)
+    instead of uniform-random placement."""
     pts, cols, hid = [], [], []
     # ground plane z ~ 0 (greens/browns)
     g = np.stack([rng.uniform(-1.2, 1.2, ground_pts),
@@ -35,7 +39,10 @@ def _scene_points(rng: np.ndarray, n_heads: int, pts_per_head: int,
     hid.append(np.zeros(ground_pts, np.int32))
     # wheat heads: vertical ellipsoids above the plane (golden)
     for h in range(n_heads):
-        cx, cy = rng.uniform(-0.8, 0.8, 2)
+        if head_centers is not None:
+            cx, cy = float(head_centers[h][0]), float(head_centers[h][1])
+        else:
+            cx, cy = rng.uniform(-0.8, 0.8, 2)
         cz = rng.uniform(0.35, 0.55)
         axis = rng.normal(0, 0.08, 3) + np.array([0, 0, 1.0])
         axis /= np.linalg.norm(axis)
@@ -91,6 +98,7 @@ def make_synthetic_colmap_scene(
     with_masks: bool = True,
     cam_radius: float = 2.2,
     cam_elev_deg: float = 40.0,
+    head_centers=None,
 ) -> dict:
     """Create the dataset on disk; returns a manifest dict.
 
@@ -107,7 +115,8 @@ def make_synthetic_colmap_scene(
 
     rng = np.random.default_rng(seed)
     points, colors, head_id = _scene_points(rng, n_heads, pts_per_head,
-                                            ground_pts)
+                                            ground_pts,
+                                            head_centers=head_centers)
     n = len(points)
 
     # Ground-truth Gaussian scene: isotropic splats sized by 3-NN distance.
@@ -205,6 +214,14 @@ def make_synthetic_colmap_scene(
     colmap.write_points3D_binary(
         os.path.join(sparse, "points3D.bin"), noisy.astype(np.float64),
         (colors[sub] * 255).astype(np.uint8))
+    # Ground truth for experiment scoring (not read by any pipeline stage):
+    # the true scene points with per-point instance id (0 = ground).
+    np.savez_compressed(os.path.join(out_dir, "gt_points.npz"),
+                        points=points, head_id=head_id)
+    import json
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
     return manifest
 
 

@@ -126,13 +126,22 @@ def pick_mtpg(p99_area: int, ladder=MTPG_LADDER) -> int:
     return ladder[-1]
 
 
-def pick_entry_budget(total_entries: int, headroom: float = 1.5,
+def pick_entry_budget(total_entries: int, headroom: float = 1.25,
                       floor: int = 1 << 17) -> int:
-    """Smallest power-of-two >= headroom * observed entry count (the Pallas
-    backend's sort-slice budget; see pallas_raster._sorted_stream)."""
+    """Smallest {1, 1.25, 1.5, 1.75} * 2^k rung >= headroom * the probed
+    allocation demand (the Pallas backend's exact-allocation size; see
+    pallas_raster._alloc_entries). Quarter-steps keep ALL entry-stream cost
+    (sorts, kernels, gradient reduction scale with the budget) within ~20%
+    of the demand instead of up to 2x on pow2-only rungs. The 1.25 default
+    headroom is safe because overflow is *detected* per step (entry
+    telemetry) and the budget auto-raises, rather than cropping silently."""
     need = max(float(floor), total_entries * headroom)
     rung = floor
     while rung < need:
+        for num in (5, 6, 7):
+            q = rung // 4 * num
+            if q >= need and q % 128 == 0:
+                return q
         rung *= 2
     return rung
 

@@ -85,15 +85,21 @@ def load_lpips(weights_path: str) -> Callable:
 
 
 def convert_torch_weights(out_path: str) -> None:
-    """Convert torchvision VGG16 + lpips lin weights to our npz (needs both
-    packages + their downloaded weights; run outside the sandbox)."""
+    """Convert an installed lpips package's VGG model to our npz (needs the
+    ``lpips`` package + its downloaded weights; run outside the sandbox).
+    For converting raw checkpoint FILES without any lpips/torchvision
+    install, use ``scripts/convert_lpips_weights.py`` instead."""
     import lpips as lpips_pkg  # type: ignore
 
     net = lpips_pkg.LPIPS(net="vgg")
     arrs = {}
     for name, t in net.net.named_parameters():
-        # lpips wraps torchvision vgg16 features as net.slice1..slice5
-        arrs[name] = t.detach().numpy()
+        # lpips wraps torchvision vgg16 features as net.slice1..slice5 but
+        # keeps the ORIGINAL torchvision layer indices inside each slice
+        # (slice2.5.weight == features.5.weight), so stripping the slice
+        # prefix recovers the schema load_lpips expects.
+        idx_suffix = name.split(".", 1)[1]          # "<i>.weight|bias"
+        arrs[f"features.{idx_suffix}"] = t.detach().numpy()
     for k in range(5):
         arrs[f"lin{k}.model.1.weight"] = (
             getattr(net, f"lin{k}").model[1].weight.detach().numpy())

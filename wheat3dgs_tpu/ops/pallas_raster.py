@@ -4,14 +4,23 @@ The XLA path (ops/raster.py) pads every tile to the max_per_tile ladder rung,
 so compute scales with the *max* tile occupancy. This kernel walks each
 tile's real entry list (mean occupancy is typically 10-60x below the max):
 
-- XLA prologue: EWA projection -> packed rows -> single-key sort on a
-  (tile << rank_bits | depth_rank) packed uint32 -> budget slice (the
-  occupancy ladder caps the kept entries near the real entry count, ~10%
-  of the N*mtpg expansion slots) -> payload gather for the kept entries ->
-  per-tile segment bounds by searchsorted. Entries stay in COMPACT sorted
-  order: the kernels walk each tile's segment from its 128-aligned floor
-  and mask the out-of-segment lanes, so no padded entry table and no
-  scatters anywhere;
+- XLA prologue, EXACT-ENTRY ALLOCATION (round 3): instead of a fixed-width
+  N x max_tiles_per_gauss expansion (which paid capacity*mtpg sort cost for
+  ~12% real entries), each visible splat is allocated exactly its covered
+  tile-rect area of slots inside one static `entry_budget`-sized array:
+  exclusive-cumsum offsets -> scatter-max of the gaussian index at each
+  offset -> running-max gives every slot its owner. A slot decodes to
+  (gaussian, tile) with an exact small-int division, then a PRECISE
+  ellipse/tile intersection test (min of the conic quadratic over the tile
+  box vs the 1/255 alpha floor) retires slots the compositor would floor
+  to zero anyway — bit-exact with the kernels' per-pixel ALPHA_MIN clamp,
+  and it removes roughly half the entries on dense scenes (grazing-angle
+  splats have large bounding rects but thin ellipses). Surviving slots get
+  a (tile << rank_bits | depth_rank) packed key; ONE single-key sort over
+  budget-many keys, per-tile segment bounds by searchsorted, payload gather
+  for the sorted entries. Entries stay in COMPACT sorted order: the kernels
+  walk each tile's segment from its 128-aligned floor and mask the
+  out-of-segment lanes, so no padded entry table and no big scatters;
 - forward Pallas kernel, grid = one step per tile, per-tile segment bounds
   as prefetched scalars:
     while chunks remain AND transmittance > eps:
@@ -27,11 +36,21 @@ tile's real entry list (mean occupancy is typically 10-60x below the max):
   positions. Chunks straddling a tile boundary are accumulated through an
   in-VMEM carry (the sequential TPU grid makes the previous tile's partial
   available), so no atomics and no read-modify-write of HBM;
-- per-splat gradients via ONE single-key variadic sort keyed on the FULL
-  expansion-slot permutation (sliced-away slots contribute zero-padded
-  rows): afterwards every gaussian owns exactly its mtpg consecutive slots
-  -> fixed-width reshape + sum. Pure sort + reshape: random-access gathers
-  or scatters at this scale measured 10-1000x slower than the sort.
+- per-splat gradients: ONE single-key sort of the bf16-pair-packed entry
+  gradients keyed on the owning depth rank (grouping each gaussian's
+  entries contiguously), then a mask-matmul Pallas segment-sum over the
+  ANALYTIC per-rank segment bounds (computed at N scale during
+  allocation — an E-scale searchsorted here measured 18.7 ms). Both scale
+  with entry_budget, not with capacity x footprint. Payload columns cross
+  the custom_vjp boundary bitcast to uint32 so no zero-cotangent backward
+  graph is built for the entry stream (~10 ms of pure zero propagation
+  otherwise).
+
+Overflow telemetry: the allocation demand (total covered-rect area) and
+the post-cull entry count are returned with every render; demand above the
+budget means the tail gaussians' entries were cropped this step, and the
+training loop reacts by re-probing / raising the budget rung (see
+training.Trainer) instead of cropping silently.
 
 Numerics match ops/raster.py's composite_packed (same log-space
 transmittance); tests compare both against the naive golden model and the
@@ -39,7 +58,9 @@ two backends' gradients against each other.
 
 Reference parity: the CUDA pair in submodules/diff-gaussian-rasterization
 (duplicateWithKeys + radix sort + renderCUDA fwd/bwd); same culling rules,
-0.99 alpha clamp, 1/255 alpha floor, 1e-4 transmittance stop.
+0.99 alpha clamp, 1/255 alpha floor, 1e-4 transmittance stop. The precise
+tile test has no CUDA counterpart (the reference bins by bounding rect
+only); it is an exact-output optimization, not a behavior change.
 """
 
 from __future__ import annotations
@@ -62,110 +83,343 @@ CHUNK = 128         # entries processed per inner step (= MXU/lane width)
 FEAT = 16           # packed feature columns (8 geo + up to 8 color)
 LOG_T_EPS = math.log(T_EPS)
 
+# Profiling aid (scripts/prof_step.py): comma list in W3_PROF_SKIP of
+# backward stages to stub out ("bwdkernel", "redsort", "segsum") so their
+# cost is attributable by difference. NEVER set in real runs.
+import os as _os
 
-def _expand_keys(splats: Splats2D, width: int, height: int, tile: int,
-                 max_tiles_per_gauss: int):
-    """Per-expansion-slot sort keys (integer bookkeeping, non-differentiable).
+_PROF_SKIP = tuple(
+    s for s in _os.environ.get("W3_PROF_SKIP", "").split(",") if s)
 
-    Returns a tuple of key operands for the entry sort: a single packed
-    (tile << rank_bits | depth_rank) uint32 key (E,), or the (tile_id,
-    rank) pair when tile+rank bits overflow 32 on huge scenes. Expansion
-    slot (i, j) covers the j-th tile of gaussian i's (capped) screen rect;
-    slots past the rect count get the sentinel tile T (sorted last, never
-    walked by any tile segment).
+
+def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
+                   height: int, tile: int, budget: int,
+                   max_span: int = 1024):
+    """Exact-entry allocation + precise-cull sort keys (non-differentiable).
+
+    Access-pattern discipline (all measured on-chip): TPU sorts and
+    sorted-index row gathers are cheap; random-index and scalar gathers at
+    entry scale are 5-20x slower. So the allocation works in DEPTH-RANK
+    space — splats are permuted to front-to-back order once at N scale,
+    making the slot->owner index double as the depth rank (it rides the
+    sort key's low bits; no owner payload, no post-sort owner gather), and
+    the ONLY entry-scale gather is one row gather of a fused
+    meta+feature matrix at the monotone `owner` index.
+
+    Layout: each visible splat gets exactly its (capped) covered-rect area
+    of slots inside a static `budget`-sized slot array via exclusive-cumsum
+    offsets; slot -> owner via scatter-max + running max. Slots whose tile
+    the splat's ellipse cannot touch above the 1/255 alpha floor (exact
+    min of the conic quadratic over the tile's pixel box) are retired to
+    the sentinel tile, as are out-of-count slots and the allocation tail.
+
+    Returns (keys, payload, order, seg_end, total, alive):
+      keys:    sort-key operands — a single packed uint32
+               (tile << rank_bits | depth_rank), or the (tile, rank) pair
+               when tile+rank bits overflow 32 on huge scenes;
+      payload: tuple of 7+c (budget,) feature columns
+               (x, y, conic a/b/c, opacity, depth, colors...) BITCAST to
+               uint32 — they ride the entry sort as payload operands, and
+               integer operands get float0 cotangents under custom_vjp so
+               no zero-arithmetic backward graph is built for them
+               (measured ~10 ms/step of pure zero propagation otherwise);
+      order:   (N,) int32 depth permutation (rank -> original index);
+      seg_end: (N,) int32 — rank r's segment END position in any
+               owner-grouped ordering of the slot array (= clip of the
+               inclusive count cumsum to the budget). Computed here at N
+               scale because recovering it later via searchsorted costs an
+               E-scale binary-search gather chain (measured 18.7 ms in the
+               backward);
+      total:   scalar int32 allocation demand (sum of covered-rect
+               areas) — demand > budget means tail entries were cropped
+               this call (overflow telemetry);
+      alive:   scalar int32 surviving entry count after the precise cull.
     """
     n = splats.xy.shape[0]
+    c = packed.shape[1] - 8
     tiles_x, tiles_y = num_tiles(width, height, tile)
     t_total = tiles_x * tiles_y
-    mtpg = max_tiles_per_gauss
+    e = budget
 
     from .binning import capped_rect
 
-    rmin_x, rmin_y, span_x, _, count = capped_rect(
-        splats, tiles_x, tiles_y, tile, mtpg)
-    depth_order = jnp.argsort(splats.depth, stable=True)
-    rank = jnp.zeros((n,), jnp.int32).at[depth_order].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    cap = min(max_span, 1 << 14)
+    assert n * cap < 2**31, "int32 allocation-offset overflow"
+    assert e < 1 << 24, "entry budget exceeds exact-f32 offset range"
+    rx, ry, sx, _, count = capped_rect(splats, tiles_x, tiles_y, tile, cap)
 
-    slots = jnp.arange(mtpg, dtype=jnp.int32)
-    safe_span_x = jnp.maximum(span_x, 1)
-    # slot -> (dx, dy) within the rect via exact float reciprocal (spans are
-    # small ints; integer div/mod by a vector divisor is slow on the VPU).
-    recip = 1.0 / safe_span_x.astype(jnp.float32)
-    off_y = jnp.floor(slots[None, :].astype(jnp.float32)
-                      * recip[:, None]).astype(jnp.int32)
-    off_x = slots[None, :] - off_y * safe_span_x[:, None]
-    tile_id = ((rmin_y[:, None] + off_y) * tiles_x
-               + (rmin_x[:, None] + off_x)).astype(jnp.int32)
-    valid = slots[None, :] < count[:, None]
-    tile_id = jnp.where(valid, tile_id, t_total)
+    # Alpha floor in conic-quadratic units: alpha = o*exp(-q/2) >= 1/255
+    # iff q <= 2*log(255*o) (renderCUDA's min-alpha skip, exactly).
+    q_max = 2.0 * jnp.log(jnp.maximum(splats.opacity, 1e-12) * 255.0)
 
+    # Fused per-splat meta + features, ONE matrix so the entry-scale
+    # expansion is a single row gather. Integer fields as f32 (exact below
+    # 2^24). Feature cols skip packed's pad col 7.
+    premeta = jnp.concatenate([
+        packed[:, :7], packed[:, 8:8 + c],            # 7+c feature cols
+        jnp.maximum(sx, 1).astype(jnp.float32)[:, None],
+        rx.astype(jnp.float32)[:, None],
+        ry.astype(jnp.float32)[:, None],
+        q_max[:, None],
+    ], axis=1)                                        # (N, 11+c)
+    i_sx, i_rx, i_ry, i_q = (7 + c, 8 + c, 9 + c, 10 + c)
+
+    # Depth-rank space: permute splats front-to-back (one N-scale row
+    # gather), then allocate in rank order so owner == depth rank.
+    order = jnp.argsort(splats.depth, stable=True)    # rank -> original
+    premeta_r = premeta[order]
+    count_r = count[order]
+    offs_r = jnp.cumsum(count_r) - count_r            # exclusive
+    total = offs_r[-1] + count_r[-1]
+
+    # Slot ownership: rank r marks its first slot; running max fills its
+    # range. Zero-count ranks place no mark, so ties at one offset resolve
+    # to the single non-empty owner (the largest rank there).
+    scat = jnp.where(count_r > 0, offs_r, e)
+    mark = jnp.zeros((e,), jnp.int32).at[scat].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    owner = jax.lax.cummax(mark)
+
+    # ONE row gather at the monotone owner index, then ONE layout change
+    # to lane-major: a (E, 10+c) row-major array lane-pads its 13-wide
+    # minor dim to 128 on TPU, so every later column read would stream ~10x
+    # the bytes — all decode/cull math below runs on dense (E,) rows of
+    # the transposed matrix instead. The optimization barrier pins the
+    # transposed copy as a single materialization: without it XLA re-fuses
+    # gather+transpose into every consumer and re-reads the padded layout
+    # once per column.
+    mt = jax.lax.optimization_barrier(
+        premeta_r[owner].T)                           # (11+c, E) lane-major
+    sx_o = mt[i_sx].astype(jnp.int32)
+    rx_o = mt[i_rx].astype(jnp.int32)
+    ry_o = mt[i_ry].astype(jnp.int32)
+
+    # Each slot's index within its rank's run from run STARTS (cummax of
+    # change points) — no gathered offs/count columns needed: exact
+    # allocation guarantees a rank's run length equals its rect count, so
+    # the only invalid slots are the tail past `total`.
+    idx = jnp.arange(e, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), owner[:-1]])
+    first = jax.lax.cummax(jnp.where(owner != prev, idx, 0))
+    j = idx - first
+    valid = idx < total
+    # Exact small-int division: float-reciprocal quotient + one-step
+    # fix-up (exact for j < 2^22; rect areas are <= 2^14, tail slots are
+    # clipped — their decode is discarded by the sentinel mask).
+    jc = jnp.minimum(j, 1 << 22)
+    q = jnp.floor(jc.astype(jnp.float32)
+                  * (1.0 / sx_o.astype(jnp.float32))).astype(jnp.int32)
+    r = jc - q * sx_o
+    q = q + (r >= sx_o).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    dy = q
+    dx = jc - q * sx_o
+    # Tile coords directly from (rx, ry) + offsets: deriving them from the
+    # flat id would need an E-scale integer division by tiles_x (vector
+    # i32 div by a non-pow2 constant lowers poorly on the VPU).
+    txi = rx_o + dx
+    tyi = ry_o + dy
+    tile_id = tyi * tiles_x + txi
+
+    # Precise ellipse/tile cull: min of q(p) = A dx^2 + 2B dxdy + C dy^2
+    # over the tile's pixel-center box (continuous min <= discrete min, so
+    # dropping is conservative-exact w.r.t. the kernels' ALPHA_MIN floor).
+    x0 = (txi * tile).astype(jnp.float32) - mt[0]
+    x1 = x0 + (tile - 1)
+    y0 = (tyi * tile).astype(jnp.float32) - mt[1]
+    y1 = y0 + (tile - 1)
+    ca, cb, cc = mt[2], mt[3], mt[4]
+
+    def _edge(d_fix, lo, hi, c_fix, c_free):
+        # quadratic min along one box edge: free coord at -B*d/c, clamped.
+        t = jnp.clip(-cb * d_fix / c_free, lo, hi)
+        return c_fix * d_fix * d_fix + 2.0 * cb * d_fix * t + c_free * t * t
+
+    inside = (x0 <= 0) & (x1 >= 0) & (y0 <= 0) & (y1 >= 0)
+    qmin = jnp.minimum(
+        jnp.minimum(_edge(x0, y0, y1, ca, cc), _edge(x1, y0, y1, ca, cc)),
+        jnp.minimum(_edge(y0, x0, x1, cc, ca), _edge(y1, x0, x1, cc, ca)))
+    qmin = jnp.where(inside, 0.0, qmin)
+    alive_mask = valid & (qmin <= mt[i_q] + 1e-3)
+
+    tile_out = jnp.where(alive_mask, tile_id, t_total)
+    alive = alive_mask.sum(dtype=jnp.int32)
+
+    payload = tuple(
+        jax.lax.bitcast_convert_type(mt[f], jnp.uint32)
+        for f in range(7 + c))
+    # Rank r's EXACT slot multiplicity: a marking rank owns every slot up
+    # to the next marking rank's offset (cummax ownership), so the last
+    # marking rank also owns the allocation tail — a plain count cumsum
+    # would misattribute its (unstably sorted) real entries. All N-scale.
+    marking = (count_r > 0) & (offs_r < e)
+    offs_m = jnp.where(marking, offs_r, e)
+    nxt = jnp.concatenate(
+        [offs_m[1:], jnp.full((1,), e, offs_m.dtype)])
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+    mult = jnp.where(marking, nxt - jnp.minimum(offs_r, e), 0)
+    seg_end = jnp.cumsum(mult).astype(jnp.int32)
     rank_bits = _rank_bits(t_total)
     if n <= (1 << rank_bits):
-        key = ((tile_id.astype(jnp.uint32) << rank_bits)
-               | rank.astype(jnp.uint32)[:, None]).ravel()
-        return (key,)
-    ranks = jnp.broadcast_to(rank[:, None], (n, mtpg))
-    return (tile_id.ravel(), ranks.ravel())
+        key = ((tile_out.astype(jnp.uint32) << rank_bits)
+               | owner.astype(jnp.uint32))
+        return (key,), payload, order, seg_end, total, alive
+    return (tile_out, owner), payload, order, seg_end, total, alive
 
 
 def _rank_bits(t_total: int) -> int:
     return 32 - max(1, math.ceil(math.log2(t_total + 1)))
 
 
-def _sorted_stream(packed: jnp.ndarray, keys, t_total: int, mtpg: int,
-                   c: int, budget: int = 0):
-    """Two-phase budgeted entry stream.
+R_BLK = 512         # ranks reduced per segsum grid step
+S_CHK = 512         # value slots per segsum DMA chunk
 
-    Phase 1: sort ONLY (key, expansion slot id) over the full N*mtpg
-    expansion — in-context TPU sort cost scales strongly with operand count
-    (~3 ms per extra f32 payload column at 4M entries), so the payload does
-    NOT ride this sort. Phase 2: slice the first `budget` sorted entries
-    (real in-tile entries sort before the sentinel tail, and are typically
-    ~10% of the expansion slots: capacity slack + the mtpg cap padding make
-    up the rest), then gather the 8+c packed feature columns for the sliced
-    entries only.
 
-    `budget` (CHUNK-aligned, 0 = full expansion) comes from the occupancy
-    ladder with headroom; when the real entry count exceeds it, the
-    highest-tile-id entries are dropped (bottom image tiles lose splats) —
-    callers re-probe every densify event so the rung always has headroom.
+def _segsum_kernel():
+    """Contiguous-segment sum via per-chunk mask matmuls (MXU).
 
-    Returns (entries_lane (FEAT, budget) lane-major, starts (T,), ends (T,),
-    real (budget,) bool, sorig (budget,), sorig_full (N*mtpg,) — the FULL
-    slot permutation, the backward reduction's sort key).
+    Input: a (R, E) lane-major value table whose rows are grouped by
+    owning rank (the reduction sort's output), and per-rank segment bounds.
+    Grid step k reduces ranks [R_BLK*k, R_BLK*(k+1)): it walks the bound
+    slots in S_CHK-wide chunks and accumulates  acc += M @ chunk^T  where
+    M[r, s] = (start_r <= slot_s < end_r) — a (R_BLK, S_CHK) 0/1 matrix
+    built by broadcast compares. One matmul per chunk replaces any scatter
+    or E-scale scan: TPU scatters at this scale measured 10-100x slower,
+    and a lane-padded (E, R) cumsum moves ~10x the bytes. Blocks are sized
+    so each grid step walks ~20 chunks — small-DMA latency pipelines away
+    (at 128-wide blocks the walk was ~6 tiny DMAs and ran latency-bound).
     """
-    n = packed.shape[0]
-    e = n * mtpg
-    orig = jnp.arange(e, dtype=jnp.int32)
-    if len(keys) == 1:
-        skey, sorig = jax.lax.sort((keys[0], orig), num_keys=1,
-                                   is_stable=False)
-        stile = (skey >> _rank_bits(t_total)).astype(jnp.int32)
-    else:  # huge scenes: (tile, rank) two-key fallback
-        stile, _, sorig = jax.lax.sort(keys + (orig,), num_keys=2,
-                                       is_stable=False)
 
-    sorig_full = sorig                         # full permutation of slots
-    e_budget = -(-min(budget, e) // CHUNK) * CHUNK if budget else \
-        -(-e // CHUNK) * CHUNK
-    if e_budget < e:
-        stile = stile[:e_budget]
-        sorig = sorig[:e_budget]
-    elif e_budget > e:  # aligned tail so the chunk walk stays in range
-        stile = jnp.pad(stile, (0, e_budget - e),
-                        constant_values=t_total)
-        sorig = jnp.pad(sorig, (0, e_budget - e))
+    def kernel(blk_lo_ref, blk_hi_ref, starts_ref, ends_ref, vals_hbm,
+               out_ref, buf, sem):
+        k = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S_CHK), 1)
+        s0 = blk_lo_ref[k]
+        e_last = blk_hi_ref[k]
+        a = (s0 // S_CHK) * S_CHK
+        nc = jnp.where(e_last > s0, pl.cdiv(e_last - a, S_CHK), 0)
+        starts_col = starts_ref[0, 0].reshape(R_BLK, 1)
+        ends_col = ends_ref[0, 0].reshape(R_BLK, 1)
+
+        def dma(slot, j):
+            return pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(
+                    pl.multiple_of(a + j * S_CHK, S_CHK), S_CHK)],
+                buf.at[slot], sem.at[slot])
+
+        @pl.when(nc > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(j, acc):
+            slot = j % 2
+
+            @pl.when(j + 1 < nc)
+            def _():
+                dma(1 - slot, j + 1).start()
+
+            dma(slot, j).wait()
+            g = a + j * S_CHK + lane                       # (1, S_CHK)
+            m = ((g >= starts_col) & (g < ends_col)).astype(jnp.float32)
+            return acc + jax.lax.dot_general(
+                m, buf[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (R_BLK, FEAT)
+
+        out_ref[...] = jax.lax.fori_loop(
+            0, nc, body, jnp.zeros((R_BLK, FEAT), jnp.float32))
+
+    return kernel
+
+
+def _segment_sum_sorted(vals_lane: jnp.ndarray, seg_end: jnp.ndarray,
+                        n_rows: int, interpret: bool) -> jnp.ndarray:
+    """(R<=FEAT, E) rank-grouped values + per-rank segment ends -> (N, R)
+    per-rank sums. seg_end must be nondecreasing with seg_end[-1] <= E."""
+    r, e = vals_lane.shape
+    pads = []
+    if r < FEAT:
+        pads.append(((0, FEAT - r), (0, 0)))
+    e_pad = -(-e // S_CHK) * S_CHK
+    if e_pad > e:
+        pads.append(((0, 0), (0, e_pad - e)))
+    if pads:
+        vals_lane = jnp.pad(vals_lane, (
+            (0, FEAT - r), (0, e_pad - e)))
+    n_pad = -(-n_rows // R_BLK) * R_BLK
+    seg_end = jnp.concatenate([
+        seg_end.astype(jnp.int32),
+        jnp.broadcast_to(seg_end[-1].astype(jnp.int32),
+                         (n_pad - n_rows,))])
+    seg_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), seg_end[:-1]])
+    # Padded ranks repeat the last end => start == end, empty mask rows.
+    n_blocks = n_pad // R_BLK
+    blk_lo = seg_start[::R_BLK]                       # (n_blocks,)
+    blk_hi = seg_end[R_BLK - 1::R_BLK]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            # (n_blocks, 1, R_BLK): the unit middle dim satisfies the
+            # Mosaic block rule (last two dims must be full or (8k, 128k)).
+            pl.BlockSpec((1, 1, R_BLK), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),     # starts
+            pl.BlockSpec((1, 1, R_BLK), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),     # ends
+            pl.BlockSpec(memory_space=pltpu.ANY),      # values
+        ],
+        out_specs=pl.BlockSpec((R_BLK, FEAT), lambda k, *_: (k, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT, S_CHK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _segsum_kernel(),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, FEAT), jnp.float32),
+        interpret=interpret,
+    )(blk_lo, blk_hi, seg_start.reshape(n_blocks, 1, R_BLK),
+      seg_end.reshape(n_blocks, 1, R_BLK), vals_lane)
+    return out[:n_rows, :r]
+
+
+def _sorted_stream(keys, payload, t_total: int, c: int):
+    """Budget-sized sorted entry stream.
+
+    ONE variadic sort carries the 7+c feature columns as payload — cheaper
+    on TPU than a post-sort gather at the (random) sorted positions. The
+    owning depth rank travels in the key's low bits (or as the second key
+    on huge scenes), so no index payload is needed at all. Live entries
+    sort before the sentinel tail and are walked via per-tile segment
+    bounds; the tail is never touched by any segment.
+
+    Returns (entries_lane (FEAT, E) lane-major, starts (T,), ends (T,),
+    sowner (E,) — owning depth rank per sorted entry, the backward
+    reduction's segment key).
+    """
+    nk = len(keys)
+    sorted_ = jax.lax.sort(keys + payload, num_keys=nk, is_stable=False)
+    if nk == 1:
+        rb = _rank_bits(t_total)
+        stile = (sorted_[0] >> rb).astype(jnp.int32)
+        sowner = (sorted_[0] & ((1 << rb) - 1)).astype(jnp.int32)
+    else:  # huge scenes: (tile, rank) two-key fallback
+        stile, sowner = sorted_[0], sorted_[1]
+    # Payload columns travel bitcast as uint32 (integer operands are
+    # gradient-transparent under the custom_vjp); recover f32 views here.
+    spay = tuple(jax.lax.bitcast_convert_type(p, jnp.float32)
+                 for p in sorted_[nk:])
 
     tids = jnp.arange(t_total, dtype=stile.dtype)
     starts = jnp.searchsorted(stile, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(stile, tids, side="right").astype(jnp.int32)
 
-    cpad = FEAT - 8 - c
-    if cpad:
-        packed = jnp.pad(packed, ((0, 0), (0, cpad)))
-    entries_lane = packed[sorig // mtpg].T            # (FEAT, budget)
-    return entries_lane, starts, ends, stile < t_total, sorig, sorig_full
+    zeros = jnp.zeros_like(spay[0])
+    rows = (list(spay[:7]) + [zeros] + list(spay[7:7 + c])
+            + [zeros] * (FEAT - 8 - c))
+    entries_lane = jnp.stack(rows)                    # (FEAT, E)
+    return entries_lane, starts, ends, sowner
 
 
 def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
@@ -508,15 +762,14 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 
 @functools.lru_cache(maxsize=64)
 def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
-                   mtpg: int, two_key: bool, n_rows: int, budget: int,
+                   two_key: bool, n_rows: int, budget: int,
                    interpret: bool):
-    """custom_vjp'd (packed, *keys) -> raw per-tile accumulators
+    """custom_vjp'd (packed, owner, *keys) -> raw per-tile accumulators
     (T, FEAT+1, P): full feature sums + final transmittance row. The entry
-    sort (with the packed columns as payload) runs inside, so the backward
-    can map entry gradients to packed rows without any random access.
-    Background is applied by the caller (differentiable XLA), which keeps
-    the kernels bg-free and lets the backward recover its suffix total
-    A = g . acc without a replay pass."""
+    sort runs inside, so the backward can map entry gradients to packed
+    rows without any random access. Background is applied by the caller
+    (differentiable XLA), which keeps the kernels bg-free and lets the
+    backward recover its suffix total A = g . acc without a replay pass."""
     p = tile * tile
     r_batch = 8                      # tiles per grid step (overhead amortizer)
     n_steps = -(-t_total // r_batch)
@@ -545,22 +798,31 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
         )(starts, ends, entries_lane)
         return out[:t_total]
 
+    nk = 2 if two_key else 1
+
     @jax.custom_vjp
-    def comp(packed, *keys):
-        entries_lane, starts, ends, _, _, _ = _sorted_stream(
-            packed, keys, t_total, mtpg, c, budget)
+    def comp(packed, order, seg_end, *keys_payload):
+        # `packed` is the differentiation anchor only: the forward values
+        # ride the sort as stop-gradient payload (keys_payload), and the
+        # backward maps entry gradients straight to d(packed) — the same
+        # numbers, one gather instead of three.
+        del packed, order, seg_end
+        entries_lane, starts, ends, _ = _sorted_stream(
+            keys_payload[:nk], keys_payload[nk:], t_total, c)
         return run_fwd(entries_lane, starts, ends)
 
-    def comp_fwd(packed, *keys):
+    def comp_fwd(packed, order, seg_end, *keys_payload):
+        del packed
         # The sorted entry table is both the forward input and the
         # backward's replay data — keep it as a residual.
-        entries_lane, starts, ends, real, sorig, sorig_full = _sorted_stream(
-            packed, keys, t_total, mtpg, c, budget)
+        entries_lane, starts, ends, sowner = _sorted_stream(
+            keys_payload[:nk], keys_payload[nk:], t_total, c)
         out = run_fwd(entries_lane, starts, ends)
-        return out, (entries_lane, starts, ends, real, sorig_full, out)
+        return out, (entries_lane, starts, ends, sowner, order, seg_end,
+                     out)
 
     def comp_bwd(res, g):
-        entries_lane, starts, ends, real, sorig_full, out = res
+        entries_lane, starts, ends, sowner, order, seg_end, out = res
         e_pad = entries_lane.shape[1]
         # g is the cotangent of the RAW output (acc rows + t_final row,
         # channel-major (T, FEAT+1, P)). Suffix total per pixel, EXACTLY
@@ -599,31 +861,28 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
         # already hold their correct zero gradient. Alias indices count the
         # scalar-prefetch operands first: input 5 is the zero seed.
         dzero = jnp.zeros((FEAT, e_pad), jnp.float32)
-        dent_lane = pl.pallas_call(
-            _bwd_kernel(tiles_x, tile, t_total, r_batch),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((FEAT, e_pad), jnp.float32),
-            input_output_aliases={5: 0},
-            interpret=interpret,
-        )(starts, ends, entries_lane, g, aux, dzero)
+        if "bwdkernel" in _PROF_SKIP:
+            dent_lane = dzero + aux.sum() * 0  # keep inputs live
+        else:
+            dent_lane = pl.pallas_call(
+                _bwd_kernel(tiles_x, tile, t_total, r_batch),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((FEAT, e_pad), jnp.float32),
+                input_output_aliases={5: 0},
+                interpret=interpret,
+            )(starts, ends, entries_lane, g, aux, dzero)
 
-        # Sort-based duplicate-free reduction back to per-splat grads.
-        # Gathers and scatters with computed indices run 10-1000x slower
-        # than sorts at this scale (measured repeatedly), so the reduction
-        # is PURE sort + reshape: pad the budget-sliced gradient columns
-        # back to the full N*mtpg expansion (dropped slots contribute
-        # zeros), ONE single-key sort keyed on the full slot permutation
-        # (every gaussian then owns exactly its mtpg consecutive expansion
-        # slots), fixed-width reshape + sum per feature column.
-        e_full = sorig_full.shape[0]
-        m = min(real.shape[0], e_full)   # dent may carry an aligned tail
-        cols = [
-            jnp.pad(jnp.where(real[:m], dent_lane[f, :m], 0.0),
-                    (0, e_full - m)) for f in range(8 + c)]
+        # Sort-based duplicate-free reduction back to per-splat grads:
+        # entry gradients sorted by OWNING GAUSSIAN (grouping each
+        # gaussian's entries contiguously), then a sorted-indices
+        # segment-sum — both scale with the entry budget. Rows the replay
+        # never wrote (sentinel tail, post-transmittance-stop) are exact
+        # zeros via the aliased zero seed, so no masking is needed.
+        cols = [dent_lane[f] for f in range(8 + c)]
         # Pack column pairs as bf16 halves of one uint32 sort operand: the
         # reduction sort's cost scales with operand count AND bandwidth, so
         # this roughly halves it. Per-entry gradients round to bf16 BEFORE
-        # the <= mtpg-way sum (~0.4% relative error — far below SGD noise;
+        # the per-splat sum (~0.4% relative error — far below SGD noise;
         # the backend gradient-parity tests bound it).
         if len(cols) % 2:
             cols.append(jnp.zeros_like(cols[0]))
@@ -634,23 +893,48 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
                 cols[i + 1].astype(jnp.bfloat16),
                 jnp.uint16).astype(jnp.uint32) << 16)
             for i in range(0, len(cols), 2))
-        sorted_ = jax.lax.sort((sorig_full,) + pairs, num_keys=1,
-                               is_stable=False)
+        if "redsort" in _PROF_SKIP:
+            sorted_ = (sowner.astype(jnp.uint32),) + pairs
+        else:
+            sorted_ = jax.lax.sort((sowner.astype(jnp.uint32),) + pairs,
+                                   num_keys=1, is_stable=False)
         unpacked = []
         for w in sorted_[1:]:
             unpacked.append(jax.lax.bitcast_convert_type(
                 (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16))
             unpacked.append(jax.lax.bitcast_convert_type(
                 (w >> 16).astype(jnp.uint16), jnp.bfloat16))
-        dpacked = jnp.stack(
-            [col.astype(jnp.float32).reshape(n_rows, mtpg).sum(axis=1)
-             for col in unpacked[:8 + c]], axis=1)
+        vals_lane = jnp.stack([col.astype(jnp.float32)
+                               for col in unpacked[:8 + c]])   # (8+c, E)
+        # Rank r's segment in the rank-grouped stream is bounded by the
+        # ANALYTIC seg_end (clip of the allocation-count cumsum, an
+        # N-scale residual from _alloc_entries) — recovering it here via
+        # searchsorted would be an E-scale binary-search gather chain
+        # (measured 18.7 ms/step). Tail/cropped slots land in empty or
+        # later segments but carry exact-zero rows, so any attribution of
+        # them is harmless. Then the mask-matmul Pallas segment sum —
+        # scatter-free and lane-dense (a (E, 8+c) row-major layout would
+        # lane-pad 8+c -> 128 and move ~12x the bytes).
+        if "segsum" in _PROF_SKIP:
+            dpacked_r = (jnp.zeros((n_rows, 8 + c), jnp.float32)
+                         + vals_lane.sum() * 0)
+        else:
+            dpacked_r = _segment_sum_sorted(vals_lane, seg_end, n_rows,
+                                            interpret)
+        # Rank space -> original order (one N-scale row gather).
+        rank = jnp.zeros((n_rows,), jnp.int32).at[order].set(
+            jnp.arange(n_rows, dtype=jnp.int32), unique_indices=True)
+        dpacked = dpacked_r[rank]
         from jax import dtypes
 
-        key_zeros = tuple(
-            np.zeros((e_full,), dtypes.float0)
-            for _ in range(2 if two_key else 1))
-        return (dpacked,) + key_zeros
+        e_b = sowner.shape[0]
+        d_order = np.zeros((n_rows,), dtypes.float0)
+        d_seg = np.zeros((n_rows,), dtypes.float0)
+        # Keys AND payload are integer operands => float0 cotangents: no
+        # zero-arithmetic backward graph is built for the entry stream.
+        kp_zeros = tuple(np.zeros((e_b,), dtypes.float0)
+                         for _ in range(nk + 7 + c))
+        return (dpacked, d_order, d_seg) + kp_zeros
 
     comp.defvjp(comp_fwd, comp_bwd)
     return comp
@@ -662,31 +946,40 @@ def rasterize_pallas(
     height: int,
     bg: Optional[jnp.ndarray] = None,
     tile: int = TILE,
-    max_tiles_per_gauss: int = 16,
+    max_tiles_per_gauss: int = 16,   # unused (XLA-backend compat)
     entry_budget: int = 0,
+    max_span: int = 1024,
     interpret: bool = False,
 ) -> RasterOut:
     """Differentiable Pallas rasterization (custom_vjp backward kernel).
 
-    entry_budget: static cap on sorted entries kept for compositing
-    (0 = the full N*mtpg expansion). The occupancy ladder picks it with
-    headroom over the real entry count; all post-sort work (payload
-    gather, kernels, gradient reduction) scales with it instead of with
-    capacity * mtpg.
+    entry_budget: static size of the exact-allocation slot array
+    (0 = auto: 16 entries per gaussian, fine for small scenes/tests). ALL
+    entry-stream work (sorts, payload gather, kernels, gradient reduction)
+    scales with it. When the scene's allocation demand exceeds the budget,
+    tail gaussians' entries are cropped and the returned
+    ``entries_total > entry_budget`` flags it (the training loop re-probes
+    and raises the budget rung on this signal).
     """
+    del max_tiles_per_gauss
     c = splats.color.shape[1]
     assert c <= FEAT - 8, f"at most {FEAT - 8} color channels"
+    n = splats.xy.shape[0]
     tiles_x, tiles_y = num_tiles(width, height, tile)
     t_total = tiles_x * tiles_y
     p = tile * tile
 
-    keys = _expand_keys(jax.lax.stop_gradient(splats), width, height, tile,
-                        max_tiles_per_gauss)
+    if entry_budget <= 0:
+        entry_budget = max(1024, -(-16 * n // CHUNK) * CHUNK)
+    assert entry_budget % CHUNK == 0, "entry_budget must be 128-aligned"
+
     packed = pack_splats(splats)
-    comp = _composite_fns(tiles_x, t_total, tile, c, max_tiles_per_gauss,
-                          len(keys) == 2, splats.xy.shape[0],
-                          int(entry_budget), interpret)
-    out = comp(packed, *keys)
+    keys, payload, order, seg_end, total, alive = _alloc_entries(
+        jax.lax.stop_gradient(packed), jax.lax.stop_gradient(splats),
+        width, height, tile, int(entry_budget), max_span)
+    comp = _composite_fns(tiles_x, t_total, tile, c,
+                          len(keys) == 2, n, int(entry_budget), interpret)
+    out = comp(packed, order, seg_end, *keys, *payload)
 
     def assemble(flat, channels):
         img = flat.reshape(tiles_y, tiles_x, channels, tile, tile)
@@ -703,4 +996,5 @@ def rasterize_pallas(
     if bg is not None:
         color = color + (1.0 - alpha)[None] * jnp.asarray(bg)[:, None, None]
     return RasterOut(color=color, depth=img[6], alpha=alpha,
-                     radii=splats.radius)
+                     radii=splats.radius, entries_total=total,
+                     entries_alive=alive)

@@ -29,6 +29,11 @@ class RasterOut(NamedTuple):
     depth: jnp.ndarray      # (H, W) alpha-weighted accumulated view depth
     alpha: jnp.ndarray      # (H, W) 1 - final transmittance
     radii: jnp.ndarray      # (N,) int32 screen radius (0 = culled)
+    # Entry-stream telemetry (Pallas backend only; None on the XLA path):
+    # allocation demand (sum of covered-rect areas) and post-cull entry
+    # count. demand > entry_budget means entries were cropped this call.
+    entries_total: Optional[jnp.ndarray] = None   # scalar int32
+    entries_alive: Optional[jnp.ndarray] = None   # scalar int32
 
 
 def _tile_pixel_grid(tile: int) -> jnp.ndarray:

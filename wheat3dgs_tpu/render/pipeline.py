@@ -24,18 +24,25 @@ from ..ops.projection import project_gaussians
 class RasterConfig:
     """Static rasterizer knobs (shape-affecting => static under jit).
 
-    backend: "xla" = differentiable padded-tile composite (training);
-    "pallas" = occupancy-proportional forward kernel (inference; ~4x faster
-    on densified scenes). The Pallas kernel uses 32px tiles internally.
+    backend: "xla" = differentiable padded-tile composite;
+    "pallas" = exact-allocation budgeted entry stream + occupancy-
+    proportional kernels (training AND inference path on TPU). The Pallas
+    kernel uses 32px tiles internally; its backward rounds per-entry
+    gradients to bf16 before the per-splat reduction (~0.4% relative —
+    bounded by the backend gradient-parity tests; use the XLA backend if
+    you need exact-f32 gradients).
     """
 
     tile: int = 16
-    max_tiles_per_gauss: int = 16
+    max_tiles_per_gauss: int = 16   # XLA backend only
     max_per_tile: int = 512
     tile_batch: int = 64
     backend: str = "xla"
-    # Pallas backend: static cap on sorted entries kept for compositing
-    # (0 = full N*mtpg expansion). Managed by the occupancy ladder.
+    # Pallas backend: static size of the exact-allocation entry array
+    # (0 = auto 16/gaussian). All entry-stream work scales with it; the
+    # budget ladder keeps it at ~1.5x the probed allocation demand, and
+    # renders report entries_total so overflow (demand > budget => cropped
+    # entries) is detectable instead of silent.
     entry_budget: int = 0
 
 
@@ -50,6 +57,11 @@ class RenderOut(NamedTuple):
     depth: jax.Array    # (H, W)
     alpha: jax.Array    # (H, W)
     radii: jax.Array    # (N,) int32, 0 = invisible
+    # Entry-stream telemetry (Pallas backend; None on the XLA path).
+    # entries_total > the configured entry_budget means this render cropped
+    # entries — see ops/pallas_raster.rasterize_pallas.
+    entries_total: Optional[jax.Array] = None
+    entries_alive: Optional[jax.Array] = None
 
 
 def render(
@@ -90,15 +102,18 @@ def render(
 
         out = rasterize_pallas(
             splats, width, height, bg, tile=32,
-            max_tiles_per_gauss=config.max_tiles_per_gauss,
-            entry_budget=config.entry_budget)
+            entry_budget=config.entry_budget,
+            # Interpreter fallback keeps the Pallas backend testable on the
+            # CPU suite (tiny scenes only — it is orders slower than XLA).
+            interpret=jax.default_backend() == "cpu")
     else:
         out = raster_ops.rasterize(
             splats, width, height, bg, tile=config.tile,
             max_tiles_per_gauss=config.max_tiles_per_gauss,
             max_per_tile=config.max_per_tile, tile_batch=config.tile_batch)
     return RenderOut(color=out.color, depth=out.depth, alpha=out.alpha,
-                     radii=out.radii)
+                     radii=out.radii, entries_total=out.entries_total,
+                     entries_alive=out.entries_alive)
 
 
 # Jitted entry for inference paths (training jits the whole train step).
@@ -110,10 +125,15 @@ render_jit = jax.jit(
 
 def adapt_config(state: GaussianState, cam, width: int, height: int,
                  config: RasterConfig = RasterConfig(),
-                 headroom: float = 1.5) -> RasterConfig:
-    """Probe one view's tile occupancy and shrink/grow max_per_tile to the
-    smallest ladder rung that covers it — composite cost then scales with
-    real occupancy (see ops/binning.py ladder notes)."""
+                 headroom: float = 1.5, cams=None) -> RasterConfig:
+    """Probe tile occupancy / allocation demand and size the rasterizer.
+
+    Pallas backend: the budget is picked from the MAX allocation demand
+    over ``cams`` (a list of camera tuples; defaults to just ``cam``) —
+    inference paths should pass several representative views so a single
+    unlucky probe view cannot under-size the budget and silently crop
+    other renders. XLA backend: picks the max_per_tile ladder rung from
+    one view's max tile occupancy (see ops/binning.py ladder notes)."""
     import functools
 
     from ..ops.binning import (count_tiles, pick_entry_budget,
@@ -131,22 +151,18 @@ def adapt_config(state: GaussianState, cam, width: int, height: int,
         counts = count_tiles(splats, width, height, tile, mtpg)
         return counts.max(), counts.sum()
 
-    probe_tile = 32 if config.backend == "pallas" else config.tile
     if config.backend == "pallas":
-        # Probe footprints + entry count at the ladder-max expansion and
-        # adapt both the mtpg rung (frozen rungs crop bloated splats and
-        # bias long runs) and the entry budget.
-        from ..ops.binning import MTPG_LADDER, pick_mtpg
-        from ..training import occupancy_probe
+        from ..training import entry_demand_probe
 
-        _, p99, total = occupancy_probe(
-            state, *cam, width=width, height=height, tile=probe_tile,
-            mtpg=MTPG_LADDER[-1])
+        demand = max(
+            int(entry_demand_probe(state, *c_, width=width, height=height))
+            for c_ in (cams if cams is not None else [cam]))
         return dataclasses.replace(
-            config, max_tiles_per_gauss=pick_mtpg(int(p99)),
-            entry_budget=pick_entry_budget(int(total), headroom=headroom))
+            config,
+            entry_budget=max(config.entry_budget,
+                             pick_entry_budget(demand, headroom=headroom)))
     max_count, total = probe(state, *cam, width=width, height=height,
-                             tile=probe_tile,
+                             tile=config.tile,
                              mtpg=config.max_tiles_per_gauss)
     mpt = pick_max_per_tile(int(max_count), headroom=headroom)
     return dataclasses.replace(config, max_per_tile=mpt)

@@ -36,6 +36,23 @@ from .render.pipeline import RasterConfig, render
 from .utils.general import expon_lr
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile"))
+def entry_demand_probe(state: "G.GaussianState", w2c, full_proj, cam_center,
+                       tanfovx, tanfovy, *, width: int, height: int,
+                       tile: int = 32):
+    """Allocation demand (sum of capped covered-rect areas) for one view —
+    drives the Pallas entry-budget ladder. O(N) — cheap enough to run at
+    every densify event and on overflow signals."""
+    splats = project_gaussians(
+        state.params.means, state.scales(), state.params.quats,
+        state.opacity(), w2c, full_proj, cam_center, tanfovx, tanfovy,
+        width, height, colors=jnp.zeros((state.capacity, 1), jnp.float32))
+    tiles_x, tiles_y = num_tiles(width, height, tile)
+    _, _, _, _, count = capped_rect(splats, tiles_x, tiles_y, tile,
+                                    min(1024, 1 << 14))
+    return count.sum()
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile", "mtpg"))
 def occupancy_probe(state: "G.GaussianState", w2c, full_proj, cam_center,
@@ -98,7 +115,9 @@ def _step_core(state: G.GaussianState, w2c, full_proj, cam_center, tanfovx,
             loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (
                 1.0 - ssim(out.color, gt_i))
             mse = ((out.color - gt_i) ** 2).mean()
-            return loss, (ll1, mse, out.radii)
+            ent = (jnp.int32(-1) if out.entries_total is None
+                   else out.entries_total)
+            return loss, (ll1, mse, out.radii, ent)
 
         if b == 1:
             # Direct call on the squeezed view: vmap's batching rules around
@@ -106,16 +125,18 @@ def _step_core(state: G.GaussianState, w2c, full_proj, cam_center, tanfovx,
             # even at B=1 (measured 110 -> 218 ms per step at 131k splats).
             # B > 1 keeps vmap — the view-sharded mesh paths rely on its
             # batching semantics for the DP partitioning.
-            loss, (ll1, mse, radii) = one_view(
+            loss, (ll1, mse, radii, ent) = one_view(
                 w2c[0], full_proj[0], cam_center[0], tanfovx[0], tanfovy[0],
                 gt_images[0])
-            return loss, (ll1, mse, radii)
-        losses, (ll1s, mses, radii) = jax.vmap(one_view)(
+            return loss, (ll1, mse, radii, ent)
+        losses, (ll1s, mses, radii, ents) = jax.vmap(one_view)(
             w2c, full_proj, cam_center, tanfovx, tanfovy, gt_images)
-        return losses.mean(), (ll1s.mean(), mses.mean(), radii.max(axis=0))
+        return losses.mean(), (ll1s.mean(), mses.mean(), radii.max(axis=0),
+                               ents.max())
 
-    (loss, (ll1, mse, radii)), (grads, ndc_grad) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True)(state.params, ndc_zero)
+    (loss, (ll1, mse, radii, entries)), (grads, ndc_grad) = \
+        jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, ndc_zero)
 
     lrs = lr_tree(state.params, it, opt, extent)
     new_params, new_adam = adam_step(state.adam, grads, state.params, lrs)
@@ -127,7 +148,10 @@ def _step_core(state: G.GaussianState, w2c, full_proj, cam_center, tanfovx,
 
     metrics = {"loss": loss, "l1": ll1,
                "psnr": 20.0 * -jnp.log10(jnp.sqrt(mse)),
-               "n_alive": state.num_alive}
+               "n_alive": state.num_alive,
+               # allocation demand of this step's render (-1 on the XLA
+               # backend); demand > entry_budget => entries were cropped.
+               "entries_total": entries}
     return state, metrics
 
 
@@ -195,7 +219,8 @@ class Trainer:
                  cameras_extent: float, sh_degree: int = 3,
                  config: RasterConfig = RasterConfig(), seed: int = 0,
                  white_background: bool = False,
-                 adaptive_occupancy: bool = True):
+                 adaptive_occupancy: bool = True,
+                 overflow_check_every: int = 10):
         self.state = state
         self.white_background = white_background
         self.opt = opt
@@ -205,45 +230,44 @@ class Trainer:
         self.config = config
         self.adaptive_occupancy = adaptive_occupancy
         self._occupancy_due = True
+        # Overflow watchdog: every k-th step the entry telemetry of that
+        # step is read back; demand above the budget triggers an immediate
+        # re-probe + budget raise for the NEXT step, so a splat population
+        # inflating WITHIN a densify interval crops at most k steps instead
+        # of silently until the next probe. k=1 reacts next-step at the
+        # cost of a device sync per step.
+        self.overflow_check_every = max(1, int(overflow_check_every))
+        self.overflow_events = 0
         self.rng = jax.random.PRNGKey(seed)
         self.bg = jnp.ones(3, jnp.float32) if white_background else \
             jnp.zeros(3, jnp.float32)
 
     def _refresh_occupancy(self, cam, width: int, height: int) -> None:
-        """Re-pick max_per_tile / mtpg / entry budget from real occupancy
-        (called at start + after every densify/prune/capacity event, NOT
-        per step)."""
-        # The Pallas backend composites on 32px tiles internally; probe at
-        # the tile size whose occupancy actually drives its budget, and at
-        # the LADDER MAX expansion so the entry budget already covers the
-        # count a raised mtpg rung will produce.
-        from .ops.binning import MTPG_LADDER
-        probe_tile = 32 if self.config.backend == "pallas" else \
-            self.config.tile
-        probe_mtpg = MTPG_LADDER[-1] if self.config.backend == "pallas" \
-            else self.config.max_tiles_per_gauss
-        max_count, p99_area, total_entries = occupancy_probe(
-            self.state, *cam, width=width, height=height,
-            tile=probe_tile, mtpg=probe_mtpg)
-        mtpg = pick_mtpg(int(p99_area))
+        """Re-size the rasterizer from real occupancy (called at start +
+        after every densify/prune/capacity event and on overflow signals,
+        NOT per step)."""
         if self.config.backend == "pallas":
-            # max_per_tile is irrelevant to the Pallas kernels (they walk
-            # real per-tile counts) — changing it would only force a
-            # needless re-jit. The entry budget caps the post-sort stream;
-            # monotone nondecreasing to avoid re-jit thrash around opacity
-            # resets.
-            mpt = self.config.max_per_tile
+            # Pallas: the entry budget is the only shape knob. Probe the
+            # O(N) allocation demand (32px internal tiles); monotone
+            # nondecreasing to avoid re-jit thrash around opacity resets.
+            demand = int(entry_demand_probe(
+                self.state, *cam, width=width, height=height))
             budget = max(self.config.entry_budget,
-                         pick_entry_budget(int(total_entries)))
+                         pick_entry_budget(demand))
+            if budget != self.config.entry_budget:
+                self.config = dataclasses.replace(
+                    self.config, entry_budget=budget)
         else:
+            max_count, p99_area, _ = occupancy_probe(
+                self.state, *cam, width=width, height=height,
+                tile=self.config.tile,
+                mtpg=self.config.max_tiles_per_gauss)
+            mtpg = pick_mtpg(int(p99_area))
             mpt = pick_max_per_tile(int(max_count), headroom=1.5)
-            budget = self.config.entry_budget
-        if (mpt != self.config.max_per_tile
-                or mtpg != self.config.max_tiles_per_gauss
-                or budget != self.config.entry_budget):
-            self.config = dataclasses.replace(
-                self.config, max_per_tile=mpt, max_tiles_per_gauss=mtpg,
-                entry_budget=budget)
+            if (mpt != self.config.max_per_tile
+                    or mtpg != self.config.max_tiles_per_gauss):
+                self.config = dataclasses.replace(
+                    self.config, max_per_tile=mpt, max_tiles_per_gauss=mtpg)
         self._occupancy_due = False
 
     def step(self, it: int, cam, gt_image, width: int, height: int):
@@ -262,6 +286,11 @@ class Trainer:
             bg, jnp.int32(it), sh_degree=self.active_sh_degree,
             width=width, height=height, opt=self.opt, config=self.config,
             extent=self.extent)
+        if (self.adaptive_occupancy and self.config.backend == "pallas"
+                and it % self.overflow_check_every == 0
+                and int(metrics["entries_total"]) > self.config.entry_budget):
+            self.overflow_events += 1
+            self._occupancy_due = True    # raise the rung before next step
         self.maybe_densify(it)
         return metrics
 

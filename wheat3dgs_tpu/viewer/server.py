@@ -141,6 +141,25 @@ class ViewerState:
                 jnp.asarray(eye), jnp.float32(math.tan(self.fovx / 2)),
                 jnp.float32(math.tan(self.fovy / 2)), self.width,
                 self.height, sh_degree=self.sh_degree, config=self.config)
+            if (out.entries_total is not None
+                    and int(out.entries_total) > self.config.entry_budget):
+                # Novel interactive view exceeded the probed entry budget
+                # (Pallas backend would have cropped splats): raise the
+                # rung and re-render this frame. Budgets are monotone, so
+                # this settles after at most a few frames per session.
+                import dataclasses
+
+                from ..ops.binning import pick_entry_budget
+
+                self.config = dataclasses.replace(
+                    self.config, entry_budget=pick_entry_budget(
+                        int(out.entries_total)))
+                out = render_jit(
+                    self.state, jnp.asarray(w2c), jnp.asarray(fp),
+                    jnp.asarray(eye), jnp.float32(math.tan(self.fovx / 2)),
+                    jnp.float32(math.tan(self.fovy / 2)), self.width,
+                    self.height, sh_degree=self.sh_degree,
+                    config=self.config)
             img = np.clip(np.asarray(out.color), 0, 1)
             if overlay and self.obj_labels is not None:
                 from ..seg.eval import eval_obj_labels
