@@ -93,6 +93,22 @@ def main():
     trainer.active_sh_degree = trainer.max_sh_degree
     m = trainer.step(warmup, cams[0], gt_images[0], w, h)  # compile deg-3
     jax.block_until_ready(m["loss"])
+    # Pre-compile the next two entry-budget rungs: densification inside the
+    # timed window raises the rung and would otherwise pay a first-compile
+    # stall mid-measurement (a real 15k-iter run amortizes these).
+    if trainer.config.backend == "pallas":
+        import dataclasses as _dc
+
+        from wheat3dgs_tpu.ops.binning import pick_entry_budget
+
+        saved = trainer.config
+        rung = saved.entry_budget
+        for _ in range(2):
+            rung = pick_entry_budget(int(rung) + 1, headroom=1.0)
+            trainer.config = _dc.replace(saved, entry_budget=rung)
+            m = trainer.step(warmup, cams[0], gt_images[0], w, h)
+            jax.block_until_ready(m["loss"])
+        trainer.config = saved
     # Timed in WINDOW-sized blocks: a per-iteration block_until_ready would
     # add one host<->device round trip per step (tens of ms through the
     # remote-TPU tunnel), which a real training loop never pays — the host

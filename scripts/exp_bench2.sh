@@ -24,12 +24,15 @@ fi
 T0=$(date +%s)
 python train_vanilla_3dgs.py -s "$SCENE" -m "$MODEL" --eval \
   --resolution 1 --iterations "$ITERS" \
-  --test_iterations 7000 30000 --save_iterations 7000 "$ITERS" \
+  --test_iterations 7000 30000 --save_iterations 7000 15000 "$ITERS" \
   --checkpoint_iterations "$ITERS" 2>&1 | tail -5
 T1=$(date +%s)
 echo "train wall: $((T1 - T0)) s"
 
-python render.py -m "$MODEL" --iteration 7000 2>&1 | tail -2
-python render.py -m "$MODEL" --iteration "$ITERS" 2>&1 | tail -2
-python metrics.py -m "$MODEL" 2>&1 | tail -12
+# Quality dossier via the reference artifact path (render.py -> metrics.py):
+# per-view renders + results.json/per_view.json at 7k / 15k / 30k.
+for IT in 7000 15000 "$ITERS"; do
+  python render.py -m "$MODEL" --iteration "$IT" 2>&1 | tail -2
+done
+python metrics.py -m "$MODEL" 2>&1 | tail -16
 echo "results: $MODEL/results.json"

@@ -57,8 +57,8 @@ def _tiny_state(n=6, cap=16, sh_degree=1):
         quats=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
         log_scales=jnp.asarray(np.log(rng.uniform(0.05, 0.2, (n, 3))),
                                jnp.float32),
-        sh_dc=jnp.asarray(rng.normal(size=(n, 1, 3)), jnp.float32),
-        sh_rest=jnp.zeros((n, k - 1, 3), jnp.float32),
+        sh_dc=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        sh_rest=jnp.zeros((n, 3 * (k - 1)), jnp.float32),
         opacity_logit=jnp.full((n,), 2.0, jnp.float32))
     return G.init_state(params, capacity=cap)
 

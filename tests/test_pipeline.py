@@ -54,7 +54,8 @@ def test_ply_roundtrip(tmp_path):
     params = G.GaussianParams(
         means=jnp.asarray(g["means3d"]), quats=jnp.asarray(g["quats"]),
         log_scales=jnp.asarray(np.log(g["scales"])),
-        sh_dc=jnp.asarray(g["sh"][:, :1]), sh_rest=jnp.asarray(g["sh"][:, 1:]),
+        sh_dc=jnp.asarray(g["sh"][:, 0]),
+        sh_rest=jnp.asarray(g["sh"][:, 1:].reshape(len(g["sh"]), -1)),
         opacity_logit=jnp.asarray(np.linspace(-1, 1, 17, dtype=np.float32)))
     state = G.init_state(params, instance_id=np.arange(17, dtype=np.int32))
     path = str(tmp_path / "pc.ply")

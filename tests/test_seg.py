@@ -144,8 +144,8 @@ def test_eval_obj_labels_depth_resolution():
         means=jnp.asarray(means),
         quats=jnp.zeros((2, 4), jnp.float32).at[:, 0].set(1.0),
         log_scales=jnp.full((2, 3), np.log(0.2), jnp.float32),
-        sh_dc=jnp.zeros((2, 1, 3), jnp.float32),
-        sh_rest=jnp.zeros((2, 0, 3), jnp.float32),
+        sh_dc=jnp.zeros((2, 3), jnp.float32),
+        sh_rest=jnp.zeros((2, 0), jnp.float32),
         opacity_logit=jnp.full((2,), 8.0, jnp.float32))
     state = G.init_state(params, capacity=8)
     labels = np.zeros((3, 8), bool)

@@ -127,8 +127,8 @@ def make_synthetic_colmap_scene(
         means=jnp.asarray(points),
         quats=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
         log_scales=jnp.asarray(log_scales, jnp.float32),
-        sh_dc=jnp.zeros((n, 1, 3), jnp.float32),
-        sh_rest=jnp.zeros((n, 0, 3), jnp.float32),
+        sh_dc=jnp.zeros((n, 3), jnp.float32),
+        sh_rest=jnp.zeros((n, 0), jnp.float32),
         opacity_logit=jnp.full((n,), 4.0, jnp.float32))
     state = init_state(params, instance_id=head_id)
     cap = state.capacity

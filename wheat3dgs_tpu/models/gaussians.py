@@ -39,8 +39,11 @@ class GaussianParams:
     means: jax.Array          # (C, 3)
     quats: jax.Array          # (C, 4) unnormalized (w, x, y, z)
     log_scales: jax.Array     # (C, 3)
-    sh_dc: jax.Array          # (C, 1, 3)
-    sh_rest: jax.Array        # (C, K-1, 3)
+    # SH coefficients in FLAT 2-D storage [k0_rgb, k1_rgb, ...]: rank-3
+    # (C, K, 3) arrays lane-pad 3 -> 128 in some XLA/TPU layouts, which
+    # measured ~12 ms/step of padded copies in the training backward.
+    sh_dc: jax.Array          # (C, 3)
+    sh_rest: jax.Array        # (C, 3*(K-1))
     opacity_logit: jax.Array  # (C,)
 
 
@@ -72,7 +75,9 @@ class GaussianState:
         return jnp.exp(self.params.log_scales)
 
     def sh(self) -> jax.Array:
-        return jnp.concatenate([self.params.sh_dc, self.params.sh_rest], axis=1)
+        """Flat (C, 3K) coefficients ([k0_rgb, k1_rgb, ...])."""
+        return jnp.concatenate(
+            [self.params.sh_dc, self.params.sh_rest], axis=1)
 
 
 def _round_capacity(n: int) -> int:
@@ -124,8 +129,8 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, sh_degree: int,
     n = points.shape[0]
     k = num_sh_bands(sh_degree)
     means = jnp.asarray(points, jnp.float32)
-    sh_dc = jnp.asarray(rgb_to_sh(np.asarray(colors)), jnp.float32)[:, None, :]
-    sh_rest = jnp.zeros((n, k - 1, 3), jnp.float32)
+    sh_dc = jnp.asarray(rgb_to_sh(np.asarray(colors)), jnp.float32)
+    sh_rest = jnp.zeros((n, 3 * (k - 1)), jnp.float32)
     dist2 = jnp.maximum(knn_mean_sq_dist(means), 1e-7)
     log_scales = jnp.broadcast_to(
         jnp.log(jnp.sqrt(dist2))[:, None], (n, 3))

@@ -30,14 +30,16 @@ def save_ply(state: GaussianState, path: str) -> None:
     alive = np.asarray(state.alive)
     p = jax.tree.map(lambda x: np.asarray(x)[alive], state.params)
     inst = np.asarray(state.instance_id)[alive].astype("<f4")
-    n, k1 = p.sh_rest.shape[:2]
+    n = p.sh_rest.shape[0]
+    k1 = p.sh_rest.shape[1] // 3
 
     props = {"x": p.means[:, 0], "y": p.means[:, 1], "z": p.means[:, 2],
              "nx": np.zeros(n, "<f4"), "ny": np.zeros(n, "<f4"),
              "nz": np.zeros(n, "<f4")}
     for c in range(3):
-        props[f"f_dc_{c}"] = p.sh_dc[:, 0, c]
-    rest = p.sh_rest.transpose(0, 2, 1).reshape(n, 3 * k1)  # channel-major
+        props[f"f_dc_{c}"] = p.sh_dc[:, c]
+    # flat coeff-major (n, 3*k1) -> reference channel-major f_rest order
+    rest = p.sh_rest.reshape(n, k1, 3).transpose(0, 2, 1).reshape(n, 3 * k1)
     for j in range(3 * k1):
         props[f"f_rest_{j}"] = rest[:, j]
     props["opacity"] = p.opacity_logit
@@ -60,7 +62,7 @@ def load_ply(path: str, capacity: Optional[int] = None,
     v = read_ply(path)
     n = len(v["x"])
     means = np.stack([v["x"], v["y"], v["z"]], 1)
-    sh_dc = np.stack([v[f"f_dc_{c}"] for c in range(3)], 1)[:, None, :]
+    sh_dc = np.stack([v[f"f_dc_{c}"] for c in range(3)], 1)
     rest_names = sorted((k for k in v if k.startswith("f_rest_")),
                         key=lambda s: int(s.split("_")[-1]))
     k1 = len(rest_names) // 3
@@ -72,9 +74,9 @@ def load_ply(path: str, capacity: Optional[int] = None,
         sh_degree = 0
     if k1:
         rest = np.stack([v[nm] for nm in rest_names], 1).reshape(n, 3, k1)
-        sh_rest = rest.transpose(0, 2, 1)
+        sh_rest = rest.transpose(0, 2, 1).reshape(n, 3 * k1)  # coeff-major
     else:
-        sh_rest = np.zeros((n, 0, 3), np.float32)
+        sh_rest = np.zeros((n, 0), np.float32)
     log_scales = np.stack([v[f"scale_{c}"] for c in range(3)], 1)
     quats = np.stack([v[f"rot_{c}"] for c in range(4)], 1)
     opacity = v["opacity"]

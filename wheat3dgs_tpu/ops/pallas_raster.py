@@ -94,7 +94,7 @@ _PROF_SKIP = tuple(
 
 def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
                    height: int, tile: int, budget: int,
-                   max_span: int = 1024):
+                   max_span: int = 1024, interpret: bool = False):
     """Exact-entry allocation + precise-cull sort keys (non-differentiable).
 
     Access-pattern discipline (all measured on-chip): TPU sorts and
@@ -190,59 +190,6 @@ def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
     # once per column.
     mt = jax.lax.optimization_barrier(
         premeta_r[owner].T)                           # (11+c, E) lane-major
-    sx_o = mt[i_sx].astype(jnp.int32)
-    rx_o = mt[i_rx].astype(jnp.int32)
-    ry_o = mt[i_ry].astype(jnp.int32)
-
-    # Each slot's index within its rank's run from run STARTS (cummax of
-    # change points) — no gathered offs/count columns needed: exact
-    # allocation guarantees a rank's run length equals its rect count, so
-    # the only invalid slots are the tail past `total`.
-    idx = jnp.arange(e, dtype=jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), owner[:-1]])
-    first = jax.lax.cummax(jnp.where(owner != prev, idx, 0))
-    j = idx - first
-    valid = idx < total
-    # Exact small-int division: float-reciprocal quotient + one-step
-    # fix-up (exact for j < 2^22; rect areas are <= 2^14, tail slots are
-    # clipped — their decode is discarded by the sentinel mask).
-    jc = jnp.minimum(j, 1 << 22)
-    q = jnp.floor(jc.astype(jnp.float32)
-                  * (1.0 / sx_o.astype(jnp.float32))).astype(jnp.int32)
-    r = jc - q * sx_o
-    q = q + (r >= sx_o).astype(jnp.int32) - (r < 0).astype(jnp.int32)
-    dy = q
-    dx = jc - q * sx_o
-    # Tile coords directly from (rx, ry) + offsets: deriving them from the
-    # flat id would need an E-scale integer division by tiles_x (vector
-    # i32 div by a non-pow2 constant lowers poorly on the VPU).
-    txi = rx_o + dx
-    tyi = ry_o + dy
-    tile_id = tyi * tiles_x + txi
-
-    # Precise ellipse/tile cull: min of q(p) = A dx^2 + 2B dxdy + C dy^2
-    # over the tile's pixel-center box (continuous min <= discrete min, so
-    # dropping is conservative-exact w.r.t. the kernels' ALPHA_MIN floor).
-    x0 = (txi * tile).astype(jnp.float32) - mt[0]
-    x1 = x0 + (tile - 1)
-    y0 = (tyi * tile).astype(jnp.float32) - mt[1]
-    y1 = y0 + (tile - 1)
-    ca, cb, cc = mt[2], mt[3], mt[4]
-
-    def _edge(d_fix, lo, hi, c_fix, c_free):
-        # quadratic min along one box edge: free coord at -B*d/c, clamped.
-        t = jnp.clip(-cb * d_fix / c_free, lo, hi)
-        return c_fix * d_fix * d_fix + 2.0 * cb * d_fix * t + c_free * t * t
-
-    inside = (x0 <= 0) & (x1 >= 0) & (y0 <= 0) & (y1 >= 0)
-    qmin = jnp.minimum(
-        jnp.minimum(_edge(x0, y0, y1, ca, cc), _edge(x1, y0, y1, ca, cc)),
-        jnp.minimum(_edge(y0, x0, x1, cc, ca), _edge(y1, x0, x1, cc, ca)))
-    qmin = jnp.where(inside, 0.0, qmin)
-    alive_mask = valid & (qmin <= mt[i_q] + 1e-3)
-
-    tile_out = jnp.where(alive_mask, tile_id, t_total)
-    alive = alive_mask.sum(dtype=jnp.int32)
 
     payload = tuple(
         jax.lax.bitcast_convert_type(mt[f], jnp.uint32)
@@ -259,15 +206,183 @@ def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
     mult = jnp.where(marking, nxt - jnp.minimum(offs_r, e), 0)
     seg_end = jnp.cumsum(mult).astype(jnp.int32)
     rank_bits = _rank_bits(t_total)
+
     if n <= (1 << rank_bits):
-        key = ((tile_out.astype(jnp.uint32) << rank_bits)
-               | owner.astype(jnp.uint32))
+        # Fused decode + precise cull + key build (single Pallas pass; the
+        # unfused XLA chain materialized ~30 E-scale intermediates,
+        # measured ~8 ms at E ~ 1M).
+        key, alive = _decode_cull_pallas(
+            mt, owner, total, tiles_x, tile, t_total, rank_bits,
+            i_sx, i_rx, i_ry, i_q, interpret)
         return (key,), payload, order, seg_end, total, alive
+
+    # Huge-scene (tile, rank) two-key fallback: XLA decode.
+    sx_o = jnp.maximum(mt[i_sx].astype(jnp.int32), 1)
+    rx_o = mt[i_rx].astype(jnp.int32)
+    ry_o = mt[i_ry].astype(jnp.int32)
+    idx = jnp.arange(e, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), owner[:-1]])
+    first = jax.lax.cummax(jnp.where(owner != prev, idx, 0))
+    j = idx - first
+    valid = idx < total
+    jc = jnp.minimum(j, 1 << 22)
+    q = jnp.floor(jc.astype(jnp.float32)
+                  * (1.0 / sx_o.astype(jnp.float32))).astype(jnp.int32)
+    r = jc - q * sx_o
+    q = q + (r >= sx_o).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    dy = q
+    dx = jc - q * sx_o
+    txi = rx_o + dx
+    tyi = ry_o + dy
+    tile_id = tyi * tiles_x + txi
+    x0 = (txi * tile).astype(jnp.float32) - mt[0]
+    x1 = x0 + (tile - 1)
+    y0 = (tyi * tile).astype(jnp.float32) - mt[1]
+    y1 = y0 + (tile - 1)
+    ca, cb, cc = mt[2], mt[3], mt[4]
+
+    def _edge(d_fix, lo, hi, c_fix, c_free):
+        t = jnp.clip(-cb * d_fix / c_free, lo, hi)
+        return c_fix * d_fix * d_fix + 2.0 * cb * d_fix * t + c_free * t * t
+
+    inside = (x0 <= 0) & (x1 >= 0) & (y0 <= 0) & (y1 >= 0)
+    qmin = jnp.minimum(
+        jnp.minimum(_edge(x0, y0, y1, ca, cc), _edge(x1, y0, y1, ca, cc)),
+        jnp.minimum(_edge(y0, x0, x1, cc, ca), _edge(y1, x0, x1, cc, ca)))
+    qmin = jnp.where(inside, 0.0, qmin)
+    alive_mask = valid & (qmin <= mt[i_q] + 1e-3)
+    tile_out = jnp.where(alive_mask, tile_id, t_total)
+    alive = alive_mask.sum(dtype=jnp.int32)
     return (tile_out, owner), payload, order, seg_end, total, alive
 
 
 def _rank_bits(t_total: int) -> int:
     return 32 - max(1, math.ceil(math.log2(t_total + 1)))
+
+
+D_CHK = 512         # slots per decode/cull kernel chunk
+
+
+def _decode_kernel(tiles_x: int, tile: int, t_total: int, rank_bits: int,
+                   i_sx: int, i_rx: int, i_ry: int, i_q: int):
+    """Slot decode + precise ellipse/tile cull + sort-key build, fused.
+
+    The same math as the XLA formulation in _alloc_entries, but ONE pass
+    over the (rows, E) meta matrix instead of ~30 unfused E-scale
+    elementwise ops (measured ~8 ms of intermediate materialization at
+    E ~ 1M). Sequential grid; SMEM carries the previous chunk's last owner
+    and run-start so runs crossing chunk boundaries decode correctly.
+    """
+
+    def kernel(total_ref, mt_ref, owner_ref, key_ref, alive_ref, scal):
+        k = pl.program_id(0)
+        n_prog = pl.num_programs(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, D_CHK), 1)
+
+        @pl.when(k == 0)
+        def _():
+            scal[0] = -1          # previous chunk's last owner
+            scal[1] = 0           # previous chunk's last run start
+            scal[2] = 0           # alive accumulator
+
+        owner = owner_ref[...]                         # (1, D_CHK) int32
+        idx = k * D_CHK + lane
+        prev = jnp.where(lane == 0, scal[0], pltpu.roll(owner, 1, 1))
+        cand = jnp.where(owner != prev, idx, -1)
+        s = cand
+        sh = 1
+        while sh < D_CHK:
+            s = jnp.maximum(s, jnp.where(lane >= sh,
+                                         pltpu.roll(s, sh, 1), -1))
+            sh *= 2
+        first = jnp.maximum(s, scal[1])                # run starts
+        scal[0] = jnp.max(owner)                       # owner is monotone
+        scal[1] = jnp.max(first)
+
+        total = total_ref[0]
+        valid = idx < total
+        j = jnp.minimum(idx - first, 1 << 22)
+        sx = jnp.maximum(mt_ref[i_sx:i_sx + 1, :].astype(jnp.int32), 1)
+        q = jnp.floor(j.astype(jnp.float32)
+                      * (1.0 / sx.astype(jnp.float32))).astype(jnp.int32)
+        r = j - q * sx
+        q = q + (r >= sx).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        dy = q
+        dx = j - q * sx
+        txi = mt_ref[i_rx:i_rx + 1, :].astype(jnp.int32) + dx
+        tyi = mt_ref[i_ry:i_ry + 1, :].astype(jnp.int32) + dy
+        tile_id = tyi * tiles_x + txi
+
+        x0 = (txi * tile).astype(jnp.float32) - mt_ref[0:1, :]
+        x1 = x0 + (tile - 1)
+        y0 = (tyi * tile).astype(jnp.float32) - mt_ref[1:2, :]
+        y1 = y0 + (tile - 1)
+        ca = mt_ref[2:3, :]
+        cb = mt_ref[3:4, :]
+        cc = mt_ref[4:5, :]
+
+        def edge(d_fix, lo, hi, c_fix, c_free):
+            t = jnp.clip(-cb * d_fix / c_free, lo, hi)
+            return (c_fix * d_fix * d_fix + 2.0 * cb * d_fix * t
+                    + c_free * t * t)
+
+        inside = (x0 <= 0) & (x1 >= 0) & (y0 <= 0) & (y1 >= 0)
+        qmin = jnp.minimum(
+            jnp.minimum(edge(x0, y0, y1, ca, cc), edge(x1, y0, y1, ca, cc)),
+            jnp.minimum(edge(y0, x0, x1, cc, ca), edge(y1, x0, x1, cc, ca)))
+        qmin = jnp.where(inside, 0.0, qmin)
+        mask = valid & (qmin <= mt_ref[i_q:i_q + 1, :] + 1e-3)
+
+        tile_out = jnp.where(mask, tile_id, t_total)
+        key_ref[...] = ((tile_out.astype(jnp.uint32) << rank_bits)
+                        | owner.astype(jnp.uint32))
+        scal[2] = scal[2] + jnp.sum(mask.astype(jnp.int32))
+        # (1,1) vector store: Mosaic rejects scalar stores to VMEM.
+        alive_ref[...] = jnp.full((1, 1), scal[2], jnp.int32)
+        del n_prog
+
+    return kernel
+
+
+def _decode_cull_pallas(mt: jnp.ndarray, owner: jnp.ndarray,
+                        total: jnp.ndarray, tiles_x: int, tile: int,
+                        t_total: int, rank_bits: int, i_sx: int, i_rx: int,
+                        i_ry: int, i_q: int, interpret: bool):
+    """(rows, E) meta + monotone owner -> (packed key (E,), alive count)."""
+    rows, e = mt.shape
+    e_pad = -(-e // D_CHK) * D_CHK
+    r_pad = -(-rows // 8) * 8
+    if e_pad > e or r_pad > rows:
+        mt = jnp.pad(mt, ((0, r_pad - rows), (0, e_pad - e)))
+        owner = jnp.pad(owner, (0, e_pad - e))
+    n_blocks = e_pad // D_CHK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_pad, D_CHK), lambda k, *_: (0, k),
+                         memory_space=pltpu.VMEM),     # meta columns
+            pl.BlockSpec((1, D_CHK), lambda k, *_: (0, k),
+                         memory_space=pltpu.VMEM),     # owner
+        ],
+        out_specs=[
+            pl.BlockSpec((1, D_CHK), lambda k, *_: (0, k),
+                         memory_space=pltpu.VMEM),     # keys
+            pl.BlockSpec((1, 1), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),     # alive
+        ],
+        scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
+    )
+    key, alive = pl.pallas_call(
+        _decode_kernel(tiles_x, tile, t_total, rank_bits,
+                       i_sx, i_rx, i_ry, i_q),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, e_pad), jnp.uint32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(total.astype(jnp.int32).reshape(1), mt,
+      owner.reshape(1, e_pad))
+    return key[0, :e], alive[0, 0]
 
 
 R_BLK = 512         # ranks reduced per segsum grid step
@@ -666,13 +781,21 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                 include = log_t_after >= LOG_T_EPS
                 t_before = jnp.exp(log_t_after - l1m)
                 w = jnp.where(include, alpha * t_before, 0.0)
+                # Gradient-side matmuls run in bf16 (f32 accumulate):
+                # ~3x MXU rate; the ~0.4% rounding is the same order as the
+                # bf16 packing the reduction already applies, and the
+                # 2%-tolerance backend gradient-parity tests bound both.
+                # The transmittance REPLAY scan above stays f32 so the
+                # include/weight masks match the forward exactly.
                 u = jax.lax.dot_general(
-                    gmat, ent, (((0,), (0,)), ((), ())),
+                    gmat.astype(jnp.bfloat16), ent.astype(jnp.bfloat16),
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # (P, CHUNK)
 
                 pu = w * u
                 prefix = prefix_carry + jnp.dot(
-                    pu, tri, preferred_element_type=jnp.float32)
+                    pu.astype(jnp.bfloat16), tri.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
                 # (A + c2) broadcast to (P, CHUNK) via a rank-1 outer
                 # product on the MXU (no in-kernel transpose of the
                 # channel-major aux rows).
@@ -689,7 +812,8 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 
                 # Per-entry reductions over pixels (rows = FEAT layout).
                 fg = jax.lax.dot_general(
-                    gmat, w, (((1,), (0,)), ((), ())),
+                    gmat.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # (FEAT,CHUNK)
                 a_, b_, c_ = ent[2:3, :], ent[3:4, :], ent[4:5, :]
                 geo = jnp.concatenate([
@@ -771,7 +895,11 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
     (differentiable XLA), which keeps the kernels bg-free and lets the
     backward recover its suffix total A = g . acc without a replay pass."""
     p = tile * tile
-    r_batch = 8                      # tiles per grid step (overhead amortizer)
+    # Tiles per grid step (grid-overhead amortizer). Prefer a divisor of
+    # t_total: the padded (t_pad, 17, P) output otherwise costs a 130 MB
+    # slice in fwd + a pad in bwd every step (1600x1200/32 => 1875 tiles
+    # = 3 * 5^4, so 5 divides it; 8 does not).
+    r_batch = next((r for r in (8, 5, 6, 4, 3, 2) if t_total % r == 0), 8)
     n_steps = -(-t_total // r_batch)
     t_pad = n_steps * r_batch
 
@@ -976,7 +1104,8 @@ def rasterize_pallas(
     packed = pack_splats(splats)
     keys, payload, order, seg_end, total, alive = _alloc_entries(
         jax.lax.stop_gradient(packed), jax.lax.stop_gradient(splats),
-        width, height, tile, int(entry_budget), max_span)
+        width, height, tile, int(entry_budget), max_span,
+        interpret=interpret)
     comp = _composite_fns(tiles_x, t_total, tile, c,
                           len(keys) == 2, n, int(entry_budget), interpret)
     out = comp(packed, order, seg_end, *keys, *payload)
@@ -990,11 +1119,17 @@ def rasterize_pallas(
     # Raw layout: channel-major packed feature accumulator (FEAT rows) +
     # final transmittance row. The kernel composites over black; bg is
     # applied here (differentiable XLA), so bg may be a traced array.
-    img = assemble(out.reshape(t_total, FEAT + 1, p), FEAT + 1)
-    color = img[8:8 + c]
-    alpha = 1.0 - img[FEAT]
+    # Assemble only the consumed channels (colors + depth + transmittance)
+    # — tiling->image transposes of the full 17-row accumulator cost ~3x
+    # the bytes in fwd AND in its backward mirror.
+    raw = out.reshape(t_total, FEAT + 1, p)
+    sel = jnp.concatenate(
+        [raw[:, 8:8 + c], raw[:, 6:7], raw[:, FEAT:FEAT + 1]], axis=1)
+    img = assemble(sel, c + 2)
+    color = img[:c]
+    alpha = 1.0 - img[c + 1]
     if bg is not None:
         color = color + (1.0 - alpha)[None] * jnp.asarray(bg)[:, None, None]
-    return RasterOut(color=color, depth=img[6], alpha=alpha,
+    return RasterOut(color=color, depth=img[c], alpha=alpha,
                      radii=splats.radius, entries_total=total,
                      entries_alive=alive)

@@ -77,9 +77,61 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return result
 
 
+def sh_basis(deg: int, dirs: jnp.ndarray):
+    """The K = (deg+1)^2 real-SH basis values at unit ``dirs`` (..., 3),
+    as a list of (..., 1) arrays (band 0 first, 3DGS ordering)."""
+    assert 0 <= deg <= 4
+    one = jnp.ones_like(dirs[..., 0:1])
+    out = [C0 * one]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        out += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            out += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                    C2[3] * xz, C2[4] * (xx - yy)]
+            if deg > 2:
+                out += [C3[0] * y * (3 * xx - yy), C3[1] * xy * z,
+                        C3[2] * y * (4 * zz - xx - yy),
+                        C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                        C3[4] * x * (4 * zz - xx - yy),
+                        C3[5] * z * (xx - yy), C3[6] * x * (xx - 3 * yy)]
+                if deg > 3:
+                    out += [C4[0] * xy * (xx - yy),
+                            C4[1] * yz * (3 * xx - yy),
+                            C4[2] * xy * (7 * zz - 1),
+                            C4[3] * yz * (7 * zz - 3),
+                            C4[4] * (zz * (35 * zz - 30) + 3),
+                            C4[5] * xz * (7 * zz - 3),
+                            C4[6] * (xx - yy) * (7 * zz - 1),
+                            C4[7] * xz * (xx - 3 * yy),
+                            C4[8] * (xx * (xx - 3 * yy)
+                                     - yy * (3 * xx - yy))]
+    return out
+
+
+def eval_sh_flat(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray):
+    """``eval_sh`` for FLAT coefficient storage (..., 3K) laid out
+    [k0_rgb, k1_rgb, ...]. Every op here is 2-D: rank-3 (N, K, 3) arrays
+    lane-pad their minor dim 3 -> 128 in some XLA layouts, which measured
+    ~12 ms/step of padded copies in the training backward."""
+    result = None
+    for k, b in enumerate(sh_basis(deg, dirs)):
+        term = b * sh[..., 3 * k:3 * k + 3]
+        result = term if result is None else result + term
+    return result
+
+
 def sh_to_rgb(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """SH -> RGB as the 3DGS rasterizer does: eval + 0.5, clamped at 0."""
-    return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+    """SH -> RGB as the 3DGS rasterizer does: eval + 0.5, clamped at 0.
+    ``sh`` may be banded (..., K, 3) (one more dim than ``dirs``) or flat
+    (..., 3K)."""
+    if sh.ndim == dirs.ndim + 1:
+        return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+    return jnp.maximum(eval_sh_flat(deg, sh, dirs) + 0.5, 0.0)
 
 
 def rgb_to_sh(rgb):
