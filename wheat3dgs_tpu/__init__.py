@@ -21,6 +21,33 @@ rendering, and per-head morphology — designed TPU-first:
 __version__ = "0.1.0"
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every app/test entry point.
+
+    Raster graphs re-jit on entry-budget/capacity rung changes; each
+    compile costs 60-90 s through the remote-TPU attachment and dominated
+    long-run wall time before caching. Opt out / relocate with
+    WHEAT3DGS_COMPILE_CACHE (empty string disables)."""
+    import os
+
+    path = os.environ.get("WHEAT3DGS_COMPILE_CACHE",
+                          "/tmp/wheat3dgs_jax_cache")
+    if not path:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def __getattr__(name):
     """Lazy top-level API (keeps `import wheat3dgs_tpu` light — the heavy
     jax imports only load when first used)."""

@@ -75,7 +75,13 @@ def evaluate(model_paths, lpips_weights: str | None = None):
 def main(argv=None):
     parser = ArgumentParser(description="wheat3dgs_tpu metrics")
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
-    parser.add_argument("--lpips_weights", type=str, default=None)
+    parser.add_argument(
+        "--lpips_weights", type=str, default=None,
+        help="npz with torchvision-VGG16 conv weights (features.<i>.weight"
+             "/.bias) + LPIPS heads (lin<k>.model.1.weight); build one "
+             "from the standard checkpoints with "
+             "scripts/convert_lpips_weights.py. Also read from "
+             "WHEAT3DGS_LPIPS_WEIGHTS. Without it LPIPS is emitted null.")
     args = parser.parse_args(argv)
     evaluate(args.model_paths, args.lpips_weights)
 
