@@ -114,19 +114,23 @@ def main():
     # remote-TPU tunnel), which a real training loop never pays — the host
     # only syncs at densify/log boundaries.
     WINDOW = 20
+    # WINDOW-sized scanned blocks (training.train_step_scan): one device
+    # program per window removes the per-step host dispatch (several ms
+    # through the remote-TPU tunnel). Blocks end on densify boundaries
+    # (interval 40 is a multiple of 20), matching per-step semantics.
+    c = scene.data.train.cameras
+    cam_stacks = (c.w2c, c.full_proj, c.cam_center, c.tanfovx, c.tanfovy)
     win_times = []
-    n_done = 0
     t_prev = time.time()
-    for it in range(warmup + 1, iters + 1):
-        vi = int(rng.integers(n_train))
-        m = trainer.step(it, cams[vi], gt_images[vi], w, h)
-        n_done += 1
-        if n_done % WINDOW == 0:
-            jax.block_until_ready(m["loss"])
-            now = time.time()
-            win_times.append((now - t_prev) / WINDOW)
-            t_prev = now
-    jax.block_until_ready(m["loss"])
+    for it0 in range(warmup + 1, iters + 1, WINDOW):
+        vis = rng.integers(n_train, size=WINDOW)
+        m = trainer.step_block(it0, vis, cam_stacks, gt_images, w, h,
+                               n_steps=WINDOW)
+        jax.block_until_ready(m["loss"])
+        now = time.time()
+        win_times.append((now - t_prev) / WINDOW)
+        t_prev = now
+    n_done = len(win_times) * WINDOW
     total = sum(t * WINDOW for t in win_times)
     # Median per-window time = steady-state throughput; one-time compile
     # stalls (capacity growth, SH ramp) amortize over a real 15k-iter run

@@ -172,3 +172,48 @@ def test_training_smoke_loss_decreases():
     out = render(trainer.state, *cam_arrays, cam.width, cam.height,
                  sh_degree=1, config=config)
     assert float(jnp.abs(out.color - gt).mean()) < 0.1
+
+
+def test_step_block_matches_sequential():
+    """train_step_scan(K) == K sequential train_step calls (same views,
+    same schedule), so the block API is a pure dispatch optimization."""
+    import copy
+
+    cam = testing.look_at_camera(width=48, height=32)
+    g = testing.random_gaussians(n=25, seed=3, spread=0.6)
+    s = testing.project_scene(g, cam, use_colors=True)
+    from wheat3dgs_tpu.ops.reference_raster import rasterize_naive
+    gt = jnp.clip(rasterize_naive(s, cam.width, cam.height)["color"], 0, 1)
+
+    state = G.create_from_pcd(g["means3d"], g["colors"], sh_degree=1,
+                              capacity=32)
+    opt = OptimizationParams(iterations=8, densify_from_iter=1000,
+                             opacity_reset_interval=10_000)
+    config = RasterConfig(max_tiles_per_gauss=16, max_per_tile=64,
+                          tile_batch=6)
+    mk = lambda: Trainer(copy.deepcopy(state), opt, cameras_extent=1.0,
+                         sh_degree=1, config=config,
+                         adaptive_occupancy=False)
+    t_seq, t_blk = mk(), mk()
+    cam_arrays = (jnp.asarray(cam.w2c), jnp.asarray(cam.full_proj),
+                  jnp.asarray(cam.cam_center), jnp.float32(cam.tanfovx),
+                  jnp.float32(cam.tanfovy))
+    for it in range(1, 5):
+        m_seq = t_seq.step(it, cam_arrays, gt, cam.width, cam.height)
+
+    stacks = tuple(jnp.asarray(a)[None] for a in cam_arrays)
+    m_blk = t_blk.step_block(1, [0, 0, 0, 0], stacks, gt[None],
+                             cam.width, cam.height, n_steps=4)
+    np.testing.assert_allclose(float(m_blk["loss"]), float(m_seq["loss"]),
+                               rtol=1e-5)
+    # Adam's normalized update amplifies last-ulp gradient noise into
+    # +-lr-sized steps on parameters whose true gradient is ~0 (the quats
+    # of isotropic splats), so tolerances are per-leaf: tight where the
+    # gradient signal is real, lr-scale where it is noise.
+    tol = {"quats": 2e-2, "opacity_logit": 1e-3}
+    for name in ("means", "quats", "log_scales", "sh_dc", "sh_rest",
+                 "opacity_logit"):
+        a = np.asarray(getattr(t_seq.state.params, name))
+        b = np.asarray(getattr(t_blk.state.params, name))
+        np.testing.assert_allclose(a, b, atol=tol.get(name, 1e-4),
+                                   err_msg=name)

@@ -92,13 +92,51 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
     window_t0, window_it = t0, first_iter
     ema_loss = None
     profile_at = first_iter + 200 if profile else -1
-    for it in range(first_iter + 1, opt.iterations + 1):
+
+    c = scene.data.train.cameras
+    cam_stacks = (c.w2c, c.full_proj, c.cam_center, c.tanfovx, c.tanfovy)
+    # Iterations a block may run THROUGH and end at (their side effects run
+    # after the step, on the block-end `it`): log/densify/test/save/ckpt.
+    end_events = (set(test_iterations) | set(save_iterations)
+                  | set(checkpoint_iterations) | {opt.iterations})
+
+    def block_len(it: int) -> int:
+        """Steps runnable as ONE scanned device program starting at `it`.
+
+        Ends AT the next log/densify/test/save/ckpt iteration (their host
+        work runs on the block-end `it`), and BEFORE any SH-ramp multiple
+        or the profile window (those must begin a block). 1 while
+        profiling or with random background (per-step RNG)."""
+        if opt.random_background or (
+                profile and profile_at - 1 <= it <= profile_at + 20):
+            return 1
+        ends = [(it // log_every + 1) * log_every,
+                (it // opt.densification_interval + 1)
+                * opt.densification_interval,
+                it + 49, opt.iterations]
+        ends += [e for e in end_events if e >= it]
+        # strict starts: next SH multiple / profile start => end just before
+        nxt_sh = (it // 1000 + 1) * 1000 if it % 1000 else it + 1000
+        ends.append(nxt_sh - 1)
+        if profile and profile_at > it:
+            ends.append(profile_at - 1)
+        return max(1, min(ends) - it + 1)
+
+    it = first_iter + 1
+    while it <= opt.iterations:
         if it == profile_at:   # trace 20 steady-state steps (SURVEY.md §5.1)
             jax.profiler.start_trace(os.path.join(model.model_path,
                                                   "profile"))
-        vi = rnd.randint(0, n_train - 1)  # sample w/ replacement (ref :65)
-        metrics = trainer.step(it, scene.cam_arrays("train", vi),
-                               gt_images[vi], width, height)
+        k = block_len(it)
+        if k == 1:
+            vi = rnd.randint(0, n_train - 1)  # sample w/ replacement (:65)
+            metrics = trainer.step(it, scene.cam_arrays("train", vi),
+                                   gt_images[vi], width, height)
+        else:
+            vis = [rnd.randint(0, n_train - 1) for _ in range(k)]
+            metrics = trainer.step_block(it, vis, cam_stacks, gt_images,
+                                         width, height, n_steps=k)
+        it = it + k - 1
         if it == profile_at + 20 and profile:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
@@ -138,6 +176,7 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
         if it in checkpoint_iterations:
             save_checkpoint(trainer.state, it, os.path.join(
                 model.model_path, f"chkpnt{it}.npz"))
+        it += 1
     if opt.iterations not in save_iterations:
         scene.save(opt.iterations, trainer.state)
     log_f.close()

@@ -125,7 +125,11 @@ render_jit = jax.jit(
 
 def adapt_config(state: GaussianState, cam, width: int, height: int,
                  config: RasterConfig = RasterConfig(),
-                 headroom: float = 1.5, cams=None) -> RasterConfig:
+                 headroom: float = 1.15, cams=None) -> RasterConfig:
+    # 1.15 default headroom: ALL entry-stream cost scales with the budget,
+    # and under-budget is no longer silent (entries_total telemetry; the
+    # viewer re-probes and re-renders on overflow), so inference runs
+    # close to the probed demand. Training uses the Trainer ladder.
     """Probe tile occupancy / allocation demand and size the rasterizer.
 
     Pallas backend: the budget is picked from the MAX allocation demand

@@ -187,6 +187,43 @@ def train_step_views(state, w2c, full_proj, cam_center, tanfovx, tanfovy,
                       width=width, height=height, opt=opt, config=config)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "opt", "config",
+                     "n_steps"),
+    donate_argnames=("state",))
+def train_step_scan(state, w2c_stack, fp_stack, cc_stack, tfx_stack,
+                    tfy_stack, gt_stack, view_idx, bg, it0, *,
+                    n_steps: int, sh_degree: int, width: int, height: int,
+                    opt: OptimizationParams,
+                    config: RasterConfig = RasterConfig(), extent=1.0):
+    """K reference steps in ONE device program (lax.scan over view picks).
+
+    Per-step host dispatch through the remote-TPU attachment costs several
+    ms; scanning K steps between host touch points removes it. The camera/
+    image stacks stay device-resident across the whole run; view_idx (K,)
+    selects per-step views. Semantically identical to K train_step calls
+    (the iteration counter advances inside the scan for the lr schedule).
+    Returns the final state + the LAST step's metrics with entries_total
+    replaced by the block MAX (the overflow watchdog must see the worst
+    step of the block)."""
+
+    def body(st, args):
+        vi, it = args
+        st, m = _step_core(
+            st, w2c_stack[vi][None], fp_stack[vi][None],
+            cc_stack[vi][None], tfx_stack[vi][None], tfy_stack[vi][None],
+            gt_stack[vi][None], bg, it, extent, sh_degree=sh_degree,
+            width=width, height=height, opt=opt, config=config)
+        return st, m
+
+    its = it0 + jnp.arange(n_steps, dtype=jnp.int32)
+    state, ms = jax.lax.scan(body, state, (view_idx, its))
+    metrics = jax.tree.map(lambda a: a[-1], ms)
+    metrics["entries_total"] = ms["entries_total"].max()
+    return state, metrics
+
+
 def multi_plot_step(sh_degree: int, width: int, height: int,
                     opt: OptimizationParams,
                     config: RasterConfig = RasterConfig()):
@@ -292,6 +329,41 @@ class Trainer:
             self.overflow_events += 1
             self._occupancy_due = True    # raise the rung before next step
         self.maybe_densify(it)
+        return metrics
+
+    def step_block(self, it0: int, view_idx, cam_stacks, gt_stack,
+                   width: int, height: int, n_steps: int):
+        """Run ``n_steps`` reference steps as ONE device program.
+
+        cam_stacks: (w2c (V,4,4), full_proj (V,4,4), cam_center (V,3),
+        tanfovx (V,), tanfovy (V,)); gt_stack (V,3,H,W); view_idx
+        (n_steps,) int32 picks. The caller must ensure no SH ramp, densify
+        event, or probe boundary falls strictly inside the block (use
+        blocks that end exactly on those boundaries — see bench.py).
+        The final block step runs densify/watchdog checks exactly like
+        ``step``."""
+        assert n_steps >= 1
+        it_last = it0 + n_steps - 1
+        if it0 % 1000 == 0 and self.active_sh_degree < self.max_sh_degree:
+            self.active_sh_degree += 1
+        if self.adaptive_occupancy and self._occupancy_due:
+            cam0 = tuple(a[0] for a in cam_stacks)
+            self._refresh_occupancy(cam0, width, height)
+        bg = self.bg
+        if self.opt.random_background:
+            self.rng, sub = jax.random.split(self.rng)
+            bg = jax.random.uniform(sub, (3,), jnp.float32)
+        self.state, metrics = train_step_scan(
+            self.state, *cam_stacks, gt_stack,
+            jnp.asarray(view_idx, jnp.int32), bg, jnp.int32(it0),
+            n_steps=n_steps, sh_degree=self.active_sh_degree, width=width,
+            height=height, opt=self.opt, config=self.config,
+            extent=self.extent)
+        if (self.adaptive_occupancy and self.config.backend == "pallas"
+                and int(metrics["entries_total"]) > self.config.entry_budget):
+            self.overflow_events += 1
+            self._occupancy_due = True
+        self.maybe_densify(it_last)
         return metrics
 
     def maybe_densify(self, it: int) -> Optional[dict]:
