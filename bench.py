@@ -96,6 +96,9 @@ def main():
     # Pre-compile the next two entry-budget rungs: densification inside the
     # timed window raises the rung and would otherwise pay a first-compile
     # stall mid-measurement (a real 15k-iter run amortizes these).
+    c = scene.data.train.cameras
+    cam_stacks = (c.w2c, c.full_proj, c.cam_center, c.tanfovx, c.tanfovy)
+    WINDOW = 20
     if trainer.config.backend == "pallas":
         import dataclasses as _dc
 
@@ -103,23 +106,26 @@ def main():
 
         saved = trainer.config
         rung = saved.entry_budget
-        for _ in range(2):
+        # Pre-compile the scanned WINDOW-block at the current and next two
+        # budget rungs (densification raises the rung inside the timed
+        # window; the block program's first compile would otherwise stall
+        # mid-measurement).
+        for _ in range(3):
+            m = trainer.step_block(
+                warmup, np.zeros(WINDOW, np.int64), cam_stacks, gt_images,
+                w, h, n_steps=WINDOW)
+            jax.block_until_ready(m["loss"])
             rung = pick_entry_budget(int(rung) + 1, headroom=1.0)
             trainer.config = _dc.replace(saved, entry_budget=rung)
-            m = trainer.step(warmup, cams[0], gt_images[0], w, h)
-            jax.block_until_ready(m["loss"])
         trainer.config = saved
     # Timed in WINDOW-sized blocks: a per-iteration block_until_ready would
     # add one host<->device round trip per step (tens of ms through the
     # remote-TPU tunnel), which a real training loop never pays — the host
     # only syncs at densify/log boundaries.
-    WINDOW = 20
     # WINDOW-sized scanned blocks (training.train_step_scan): one device
     # program per window removes the per-step host dispatch (several ms
     # through the remote-TPU tunnel). Blocks end on densify boundaries
     # (interval 40 is a multiple of 20), matching per-step semantics.
-    c = scene.data.train.cameras
-    cam_stacks = (c.w2c, c.full_proj, c.cam_center, c.tanfovx, c.tanfovy)
     win_times = []
     t_prev = time.time()
     for it0 in range(warmup + 1, iters + 1, WINDOW):
