@@ -28,7 +28,13 @@ import numpy as np
 SCENE = os.environ.get("SEG_SCENE", "/tmp/wheat3dgs_segenv_scene")
 MODEL = os.environ.get("SEG_MODEL", "/tmp/wheat3dgs_segenv_model")
 EXP = "envelope"
-N_HEADS = 36
+# Reference envelope by default; dwarf everything via env for dry runs.
+N_HEADS = int(os.environ.get("SEG_HEADS", "36"))
+N_CAMS = int(os.environ.get("SEG_CAMS", "36"))
+W = int(os.environ.get("SEG_W", "1600"))
+H = int(os.environ.get("SEG_H", "1200"))
+PTS = int(os.environ.get("SEG_PTS", "2500"))
+GROUND = int(os.environ.get("SEG_GROUND", "90000"))
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--skip_train", action="store_true")
@@ -47,8 +53,8 @@ if not os.path.exists(os.path.join(SCENE, "sparse", "0", "points3D.bin")):
 
     t0 = time.time()
     make_synthetic_colmap_scene(
-        SCENE, width=1600, height=1200, n_cams=36, n_heads=N_HEADS,
-        pts_per_head=2500, ground_pts=90000, seed=3, with_masks=True)
+        SCENE, width=W, height=H, n_cams=N_CAMS, n_heads=N_HEADS,
+        pts_per_head=PTS, ground_pts=GROUND, seed=3, with_masks=True)
     print(f"scene synthesized in {time.time() - t0:.0f}s", file=sys.stderr)
 
 if not args.skip_train:

@@ -45,7 +45,28 @@ def _enable_compile_cache():
         pass
 
 
+def _select_platform():
+    """Honor WHEAT3DGS_PLATFORM=cpu|tpu|axon for every app entry point.
+
+    The sandbox's sitecustomize imports jax at interpreter start with
+    JAX_PLATFORMS preset, so the standard env var cannot redirect CLI runs
+    to another backend; flip it through jax.config instead (works until the
+    first backend use)."""
+    import os
+
+    plat = os.environ.get("WHEAT3DGS_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 _enable_compile_cache()
+_select_platform()
 
 
 def __getattr__(name):

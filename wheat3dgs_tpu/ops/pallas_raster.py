@@ -537,6 +537,50 @@ def _sorted_stream(keys, payload, t_total: int, c: int):
     return entries_lane, starts, ends, sowner
 
 
+def _poly_matrix(pix_i: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """(6, P) pixel-moment matrix in TILE-LOCAL coords [1, lx, ly, lx^2,
+    lx*ly, ly^2] — identical for every tile, 32 KB of VMEM at P = 1024.
+
+    Both kernels are VPU-bound; this matrix moves their per-(P, CHUNK)
+    pixel-polynomial work onto the MXU:
+    - forward/backward: the conic quadratic power(p, e) is a degree-2
+      polynomial in (lx, ly), so it is ONE polyT @ C(6, CHUNK) matmul with
+      per-entry coefficients (vs ~7 VPU ops per pixel-entry for dx/dy/
+      power);
+    - backward: the six geometry gradient rows are sums of
+      dpow * polynomial(dx, dy) = re-centered moments of dpow against
+      these same six rows (vs ~15 VPU products + 6 large reductions).
+    HIGHEST-precision matmuls: lx^2 <= 961 is not bf16-exact.
+    """
+    p = pix_i.shape[0]
+    lx = (pix_i % tile).astype(jnp.float32)               # (P, 1)
+    ly = (pix_i // tile).astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.ones((p, 1), jnp.float32), lx, ly, lx * lx, lx * ly, ly * ly],
+        axis=1).T
+
+
+def _power_matmul(poly: jnp.ndarray, ent: jnp.ndarray, tx, ty):
+    """Conic quadratic power = -0.5(a dx^2 + c dy^2) - b dx dy for every
+    (pixel, entry) pair as polyT(P, 6) @ C(6, CHUNK), with the coefficient
+    rows built at (1, CHUNK) scale from the entry features."""
+    xe = ent[0:1, :] - jnp.float32(tx)                    # tile-local center
+    ye = ent[1:2, :] - jnp.float32(ty)
+    ca, cb, cc = ent[2:3, :], ent[3:4, :], ent[4:5, :]
+    coef = jnp.concatenate([
+        -0.5 * (ca * xe * xe + cc * ye * ye) - cb * xe * ye,
+        ca * xe + cb * ye,
+        cc * ye + cb * xe,
+        -0.5 * ca,
+        -cb,
+        -0.5 * cc,
+    ], axis=0)                                            # (6, CHUNK)
+    return jax.lax.dot_general(
+        poly, coef, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # (P, CHUNK)
+
+
 def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
     """r_batch tiles per grid step (inner fori): grid-step overhead is a
     few microseconds on TPU and dominates sparse tiles, so flattening 8
@@ -550,6 +594,7 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
+        poly = _poly_matrix(pix_i, tile)                  # (6, P) constant
 
         def dma(slot, off):
             return pltpu.make_async_copy(
@@ -581,8 +626,6 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 
             tx = (t % tiles_x) * tile
             ty = (t // tiles_x) * tile
-            px = (tx + pix_i % tile).astype(jnp.float32)      # (P, 1)
-            py = (ty + pix_i // tile).astype(jnp.float32)
 
             def chunk_body(carry):
                 j, logt, ws, acc = carry
@@ -597,11 +640,7 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                 g = a + j * CHUNK + lane                      # global entry
                 valid = (g >= s) & (g < e)                    # (1, CHUNK)
 
-                dx = px - ent[0:1, :]                         # (P, CHUNK)
-                dy = py - ent[1:2, :]
-                power = (-0.5 * (ent[2:3, :] * dx * dx
-                                 + ent[4:5, :] * dy * dy)
-                         - ent[3:4, :] * dx * dy)
+                power = _power_matmul(poly, ent, tx, ty)      # (P, CHUNK)
                 alpha = jnp.minimum(ALPHA_MAX,
                                     ent[5:6, :] * jnp.exp(power))
                 alpha = jnp.where(
@@ -707,6 +746,7 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
+        poly = _poly_matrix(pix_i, tile)                  # (6, P) constant
 
         @pl.when(pid == 0)
         def _():
@@ -736,8 +776,6 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 
             tx = (t % tiles_x) * tile
             ty = (t // tiles_x) * tile
-            px = (tx + pix_i % tile).astype(jnp.float32)
-            py = (ty + pix_i // tile).astype(jnp.float32)
 
             gmat = g_ref[r][0:FEAT, :]                        # (FEAT, P)
             a2_row = a_ref[r][0:1, :] + a_ref[r][1:2, :]      # (1, P) A + c2
@@ -765,13 +803,8 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                 off = a + j * CHUNK
                 g_id = off + lane
                 valid = (g_id >= s) & (g_id < e)
-                dx = px - ent[0:1, :]
-                dy = py - ent[1:2, :]
-                power = (-0.5 * (ent[2:3, :] * dx * dx
-                                 + ent[4:5, :] * dy * dy)
-                         - ent[3:4, :] * dx * dy)
-                ep = jnp.exp(power)
-                raw = ent[5:6, :] * ep
+                power = _power_matmul(poly, ent, tx, ty)
+                raw = ent[5:6, :] * jnp.exp(power)
                 alpha = jnp.minimum(ALPHA_MAX, raw)
                 live = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
                 alpha = jnp.where(live, alpha, 0.0)
@@ -808,7 +841,6 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                     grad_ok,
                     t_before * u - (a2 - prefix) / (1.0 - alpha), 0.0)
                 dpow = dalpha * alpha                          # (P, CHUNK)
-                dop = dalpha * jnp.where(grad_ok, ep, 0.0)
 
                 # Per-entry reductions over pixels (rows = FEAT layout).
                 fg = jax.lax.dot_general(
@@ -816,13 +848,32 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # (FEAT,CHUNK)
                 a_, b_, c_ = ent[2:3, :], ent[3:4, :], ent[4:5, :]
+                # Moment form of the geometry rows (see `poly` above). The
+                # entry center in tile-local coords (xe, ye) re-centers the
+                # raw moments; everything below the matmul is (1, CHUNK).
+                mom = jax.lax.dot_general(
+                    poly, dpow, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # (6, CHUNK)
+                xe = ent[0:1, :] - jnp.float32(tx)
+                ye = ent[1:2, :] - jnp.float32(ty)
+                s0 = mom[0:1, :]
+                e1x = mom[1:2, :] - xe * s0      # sum dpow * dx
+                e1y = mom[2:3, :] - ye * s0      # sum dpow * dy
+                exx = mom[3:4, :] - xe * (2.0 * mom[1:2, :] - xe * s0)
+                exy = (mom[4:5, :] - xe * mom[2:3, :] - ye * mom[1:2, :]
+                       + xe * ye * s0)
+                eyy = mom[5:6, :] - ye * (2.0 * mom[2:3, :] - ye * s0)
+                # dL/d opacity: wherever grad_ok, alpha = o * exp(power), so
+                # dalpha*exp(power) == dpow / o exactly (o > 0 when live).
+                dop_sum = s0 / jnp.maximum(ent[5:6, :], 1e-12)
                 geo = jnp.concatenate([
-                    jnp.sum(dpow * (a_ * dx + b_ * dy), 0, keepdims=True),
-                    jnp.sum(dpow * (b_ * dx + c_ * dy), 0, keepdims=True),
-                    jnp.sum(-0.5 * dx * dx * dpow, 0, keepdims=True),
-                    jnp.sum(-dx * dy * dpow, 0, keepdims=True),
-                    jnp.sum(-0.5 * dy * dy * dpow, 0, keepdims=True),
-                    jnp.sum(dop, 0, keepdims=True),
+                    a_ * e1x + b_ * e1y,
+                    b_ * e1x + c_ * e1y,
+                    -0.5 * exx,
+                    -exy,
+                    -0.5 * eyy,
+                    dop_sum,
                 ], axis=0)                                     # (6, CHUNK)
                 # rows 0-5 of fg are zero (gmat has no geometry columns).
                 block = jnp.concatenate([geo, fg[6:, :]], axis=0)
