@@ -22,10 +22,12 @@ EOF
 fi
 
 T0=$(date +%s)
-python train_vanilla_3dgs.py -s "$SCENE" -m "$MODEL" --eval \
+# Via the stall watchdog: the remote-TPU tunnel can wedge mid-run; the
+# watchdog checkpoints every 1000 iters and auto-resumes from the latest.
+python scripts/train_watchdog.py -s "$SCENE" -m "$MODEL" --eval \
   --resolution 1 --iterations "$ITERS" \
-  --test_iterations 7000 30000 --save_iterations 7000 15000 "$ITERS" \
-  --checkpoint_iterations "$ITERS" 2>&1 | tail -5
+  --test_iterations 7000 30000 \
+  --save_iterations 7000 15000 "$ITERS" 2>&1 | tail -8
 T1=$(date +%s)
 echo "train wall: $((T1 - T0)) s"
 

@@ -59,7 +59,10 @@ if not os.path.exists(os.path.join(SCENE, "sparse", "0", "points3D.bin")):
 
 if not args.skip_train:
     t0 = time.time()
-    sh([sys.executable, "train_vanilla_3dgs.py", "-s", SCENE, "-m", MODEL,
+    # Via the stall watchdog (scripts/train_watchdog.py): the remote-TPU
+    # tunnel can wedge mid-run; checkpoint cadence + auto-resume.
+    sh([sys.executable, "scripts/train_watchdog.py", "-s", SCENE,
+        "-m", MODEL,
         "--eval", "--resolution", "1", "--iterations", str(args.iters),
         "--test_iterations", str(args.iters),
         "--save_iterations", str(args.iters)])

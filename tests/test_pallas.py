@@ -198,3 +198,75 @@ def test_trainer_overflow_watchdog(monkeypatch):
     trainer.step(3, cam_arrays, gt, 64, 64)
     assert trainer.config.entry_budget >= int(m["entries_total"])
     assert not trainer._occupancy_due
+
+
+def test_moment_form_power_and_geometry_rows():
+    """The MXU moment-form used inside the kernels must equal the naive
+    per-(pixel, entry) formulation: conic power via _power_matmul, and the
+    six geometry-gradient rows recovered from re-centered moments of dpow
+    (extreme tile-local coords: centers near/off tile corners)."""
+    from wheat3dgs_tpu.ops import pallas_raster as PR
+
+    tile, p, chunk = 32, 32 * 32, 16
+    rng = np.random.default_rng(7)
+    tx, ty = 3 * tile, 5 * tile
+    # Entries: rows [cx, cy, a, b, c, o] — centers spread past tile borders,
+    # SPD conics with wide dynamic range.
+    cx = tx + rng.uniform(-20, tile + 20, chunk)
+    cy = ty + rng.uniform(-20, tile + 20, chunk)
+    la = rng.uniform(1e-3, 0.5, chunk)
+    lc = rng.uniform(1e-3, 0.5, chunk)
+    lb = rng.uniform(-1, 1, chunk) * np.sqrt(la * lc) * 0.9
+    o = rng.uniform(0.05, 0.99, chunk)
+    ent = jnp.asarray(np.stack([cx, cy, la, lb, lc, o]), jnp.float32)
+
+    pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (tx + pix_i % tile).astype(jnp.float32)
+    py = (ty + pix_i // tile).astype(jnp.float32)
+    dx = px - ent[0:1, :]
+    dy = py - ent[1:2, :]
+    power_ref = (-0.5 * (ent[2:3, :] * dx * dx + ent[4:5, :] * dy * dy)
+                 - ent[3:4, :] * dx * dy)
+
+    poly = PR._poly_matrix(pix_i, tile)
+    power = PR._power_matmul(poly, ent, tx, ty)
+    np.testing.assert_allclose(np.asarray(power), np.asarray(power_ref),
+                               rtol=1e-5, atol=1e-4)
+
+    # Geometry rows: naive reductions vs the moment recovery.
+    dpow = jnp.asarray(
+        rng.normal(size=(p, chunk)) * rng.uniform(0, 1, (p, chunk)),
+        jnp.float32)
+    a_, b_, c_ = ent[2:3, :], ent[3:4, :], ent[4:5, :]
+    ref_rows = jnp.concatenate([
+        jnp.sum(dpow * (a_ * dx + b_ * dy), 0, keepdims=True),
+        jnp.sum(dpow * (b_ * dx + c_ * dy), 0, keepdims=True),
+        jnp.sum(-0.5 * dx * dx * dpow, 0, keepdims=True),
+        jnp.sum(-dx * dy * dpow, 0, keepdims=True),
+        jnp.sum(-0.5 * dy * dy * dpow, 0, keepdims=True),
+    ], axis=0)
+
+    mom = jax.lax.dot_general(
+        poly, dpow, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    xe = ent[0:1, :] - jnp.float32(tx)
+    ye = ent[1:2, :] - jnp.float32(ty)
+    s0 = mom[0:1, :]
+    e1x = mom[1:2, :] - xe * s0
+    e1y = mom[2:3, :] - ye * s0
+    exx = mom[3:4, :] - xe * (2.0 * mom[1:2, :] - xe * s0)
+    exy = (mom[4:5, :] - xe * mom[2:3, :] - ye * mom[1:2, :]
+           + xe * ye * s0)
+    eyy = mom[5:6, :] - ye * (2.0 * mom[2:3, :] - ye * s0)
+    rows = jnp.concatenate([
+        a_ * e1x + b_ * e1y,
+        b_ * e1x + c_ * e1y,
+        -0.5 * exx,
+        -exy,
+        -0.5 * eyy,
+    ], axis=0)
+    scale = np.abs(np.asarray(ref_rows)).max(axis=1, keepdims=True) + 1e-3
+    np.testing.assert_allclose(np.asarray(rows) / scale,
+                               np.asarray(ref_rows) / scale,
+                               rtol=0, atol=3e-4)
