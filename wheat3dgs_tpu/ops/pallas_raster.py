@@ -480,7 +480,7 @@ def _segment_sum_sorted(vals_lane: jnp.ndarray, seg_end: jnp.ndarray,
                          memory_space=pltpu.VMEM),     # starts
             pl.BlockSpec((1, 1, R_BLK), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),     # ends
-            pl.BlockSpec(memory_space=pltpu.ANY),      # values
+            pl.BlockSpec(memory_space=pl.ANY),      # values
         ],
         out_specs=pl.BlockSpec((R_BLK, FEAT), lambda k, *_: (k, 0),
                                memory_space=pltpu.VMEM),
@@ -958,7 +958,7 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((r_batch, FEAT + 1, p),
                                    lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -1018,15 +1018,15 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
             num_scalar_prefetch=2,
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),        # entries
+                pl.BlockSpec(memory_space=pl.ANY),        # entries
                 pl.BlockSpec((r_batch, FEAT + 1, p),
                              lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),       # g
                 pl.BlockSpec((r_batch, 2, p), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),       # [A, c2]
-                pl.BlockSpec(memory_space=pltpu.ANY),        # zero seed
+                pl.BlockSpec(memory_space=pl.ANY),        # zero seed
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dentries lane
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # dentries lane
             scratch_shapes=[
                 pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
                 pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
