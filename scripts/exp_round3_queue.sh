@@ -29,6 +29,13 @@ log "queue start: waiting for TPU"
 wait_tpu
 log "TPU recovered"
 
+# HEAD sanity bench FIRST: the moment-form kernel commits landed while the
+# TPU was wedged (CPU-validated only); measure them before committing ~1.5h
+# of experiments to this code.
+log "bench_head start"
+timeout 2400 python bench.py > /tmp/bench_head.txt 2>&1
+log "bench_head rc=$? $(tail -1 /tmp/bench_head.txt | head -c 200)"
+
 if [ ! -f /tmp/wheat3dgs_bench2_model/results.json ] || \
    [ "${FORCE_BENCH2:-1}" = 1 ]; then
   log "bench2 start"
