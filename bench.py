@@ -20,7 +20,43 @@ import time
 import numpy as np
 
 
+def wait_tpu_healthy(budget_s: float) -> bool:
+    """The remote-TPU attachment can wedge (PJRT init then blocks forever,
+    observed for 5+ h on 2026-08-17). Probe it in a SUBPROCESS with a
+    timeout so this process never inherits the hang, and wait up to
+    ``budget_s`` for driver-side recovery before giving up."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp\n"
+             "jax.block_until_ready(jnp.ones((256,256)) @ "
+             "jnp.ones((256,256)))\n")
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                                capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
+        print(f"bench: TPU attachment unresponsive (probe {attempt}); "
+              f"retrying for {remaining:.0f}s more", file=sys.stderr)
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
 def main():
+    if not wait_tpu_healthy(float(os.environ.get(
+            "WHEAT3DGS_BENCH_TPU_WAIT_S", "1800"))):
+        print("bench: TPU attachment is wedged (device init hangs); "
+              "no measurement possible on this host right now.",
+              file=sys.stderr)
+        sys.exit(3)
+
     import jax
     import jax.numpy as jnp
 
