@@ -130,3 +130,27 @@ def pytest_approx(v):
     import pytest
 
     return pytest.approx(v, rel=1e-6)
+
+
+def test_bench_tpu_health_wait(monkeypatch):
+    """bench.py must never hang on a wedged TPU attachment: the probe runs
+    in a timeout-bounded subprocess and the wait gives up at its budget."""
+    import subprocess
+    import types
+
+    import bench
+
+    calls = {"n": 0}
+
+    def fake_run(*a, **k):
+        calls["n"] += 1
+        return types.SimpleNamespace(returncode=0 if calls["n"] >= 2 else 1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.wait_tpu_healthy(30.0)          # recovers on 2nd probe
+    assert calls["n"] == 2
+
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: types.SimpleNamespace(returncode=1))
+    assert not bench.wait_tpu_healthy(0.0)       # budget exhausted -> False
