@@ -63,6 +63,7 @@ if not args.skip_train:
     # tunnel can wedge mid-run; checkpoint cadence + auto-resume.
     sh([sys.executable, "scripts/train_watchdog.py", "-s", SCENE,
         "-m", MODEL,
+        "--stall_s", os.environ.get("SEG_STALL_S", "900"),
         "--eval", "--resolution", "1", "--iterations", str(args.iters),
         "--test_iterations", str(args.iters),
         "--save_iterations", str(args.iters)])
