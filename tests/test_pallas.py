@@ -87,6 +87,40 @@ def test_pallas_gradients_match_xla():
         assert np.abs(a - b).max() / scale < 0.02
 
 
+def test_vpu_variant_matches_moment_kernels(monkeypatch):
+    """WHEAT3DGS_MOMENT_KERNELS=0 (direct VPU polynomial kernels) must be
+    numerically equivalent to the default MXU moment-form kernels: the
+    toggle exists for on-chip perf A/B attribution, not behavior."""
+    from wheat3dgs_tpu.ops import projection
+
+    cam = testing.look_at_camera(width=48, height=32)
+    g = testing.random_gaussians(n=40, seed=11, spread=0.7)
+    gt = jnp.asarray(np.random.default_rng(1).random((3, 32, 48)),
+                     jnp.float32)
+    bg = jnp.array([0.3, 0.2, 0.1], jnp.float32)
+
+    def loss(means, scales, opac):
+        s = projection.project_gaussians(
+            means, scales, jnp.asarray(g["quats"]), opac, cam.w2c,
+            cam.full_proj, cam.cam_center, cam.tanfovx, cam.tanfovy,
+            48, 32, colors=jnp.asarray(g["colors"]))
+        out = rasterize_pallas(s, 48, 32, bg, max_tiles_per_gauss=16,
+                               interpret=INTERPRET)
+        return (((out.color - gt) ** 2).mean() + out.depth.mean() * 0.1
+                + out.alpha.mean() * 0.05)
+
+    args = (jnp.asarray(g["means3d"]), jnp.asarray(g["scales"]),
+            jnp.asarray(g["opacities"]))
+    v_mom, g_mom = jax.value_and_grad(loss, argnums=(0, 1, 2))(*args)
+    monkeypatch.setenv("WHEAT3DGS_MOMENT_KERNELS", "0")
+    v_vpu, g_vpu = jax.value_and_grad(loss, argnums=(0, 1, 2))(*args)
+    assert np.allclose(float(v_mom), float(v_vpu), rtol=1e-5, atol=1e-6)
+    for a, b in zip(g_mom, g_vpu):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 5e-3
+
+
 @pytest.mark.slow
 def test_pallas_entry_budget_slicing():
     """A budget >= the real entry count reproduces the full-expansion

@@ -92,6 +92,17 @@ _PROF_SKIP = tuple(
     s for s in _os.environ.get("W3_PROF_SKIP", "").split(",") if s)
 
 
+def _moment_kernels_enabled() -> bool:
+    """WHEAT3DGS_MOMENT_KERNELS=0 rebuilds the compositing kernels with the
+    direct VPU pixel-polynomial + per-row reductions instead of the MXU
+    moment-form matmuls — same math, different schedule — for on-chip A/B
+    attribution of the moment-kernel commit. Read when a kernel variant is
+    built; the variant is part of the build cache key, but flipping the env
+    mid-process only affects shapes not yet jitted (use jax.clear_caches()
+    in tests)."""
+    return _os.environ.get("WHEAT3DGS_MOMENT_KERNELS", "1") != "0"
+
+
 def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
                    height: int, tile: int, budget: int,
                    max_span: int = 1024, interpret: bool = False):
@@ -581,7 +592,8 @@ def _power_matmul(poly: jnp.ndarray, ent: jnp.ndarray, tx, ty):
         precision=jax.lax.Precision.HIGHEST)              # (P, CHUNK)
 
 
-def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
+def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
+                moment: bool = True):
     """r_batch tiles per grid step (inner fori): grid-step overhead is a
     few microseconds on TPU and dominates sparse tiles, so flattening 8
     tiles into one step amortizes it 8x. All DMA logic is sequential across
@@ -594,7 +606,7 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
-        poly = _poly_matrix(pix_i, tile)                  # (6, P) constant
+        poly = _poly_matrix(pix_i, tile) if moment else None  # (6, P) const
 
         def dma(slot, off):
             return pltpu.make_async_copy(
@@ -626,6 +638,9 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 
             tx = (t % tiles_x) * tile
             ty = (t // tiles_x) * tile
+            if not moment:
+                px = (tx + pix_i % tile).astype(jnp.float32)  # (P, 1)
+                py = (ty + pix_i // tile).astype(jnp.float32)
 
             def chunk_body(carry):
                 j, logt, ws, acc = carry
@@ -640,7 +655,14 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                 g = a + j * CHUNK + lane                      # global entry
                 valid = (g >= s) & (g < e)                    # (1, CHUNK)
 
-                power = _power_matmul(poly, ent, tx, ty)      # (P, CHUNK)
+                if moment:
+                    power = _power_matmul(poly, ent, tx, ty)  # (P, CHUNK)
+                else:
+                    dx = px - ent[0:1, :]                     # (P, CHUNK)
+                    dy = py - ent[1:2, :]
+                    power = (-0.5 * (ent[2:3, :] * dx * dx
+                                     + ent[4:5, :] * dy * dy)
+                             - ent[3:4, :] * dx * dy)
                 alpha = jnp.minimum(ALPHA_MAX,
                                     ent[5:6, :] * jnp.exp(power))
                 alpha = jnp.where(
@@ -707,7 +729,8 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
     return kernel
 
 
-def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
+def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
+                moment: bool = True):
     """Gradient replay: one front-to-back pass per tile.
 
     The cotangent g arrives in the RAW output layout (acc FEAT cols +
@@ -746,7 +769,7 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
-        poly = _poly_matrix(pix_i, tile)                  # (6, P) constant
+        poly = _poly_matrix(pix_i, tile) if moment else None  # (6, P) const
 
         @pl.when(pid == 0)
         def _():
@@ -776,6 +799,9 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 
             tx = (t % tiles_x) * tile
             ty = (t // tiles_x) * tile
+            if not moment:
+                px = (tx + pix_i % tile).astype(jnp.float32)
+                py = (ty + pix_i // tile).astype(jnp.float32)
 
             gmat = g_ref[r][0:FEAT, :]                        # (FEAT, P)
             a2_row = a_ref[r][0:1, :] + a_ref[r][1:2, :]      # (1, P) A + c2
@@ -803,8 +829,16 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                 off = a + j * CHUNK
                 g_id = off + lane
                 valid = (g_id >= s) & (g_id < e)
-                power = _power_matmul(poly, ent, tx, ty)
-                raw = ent[5:6, :] * jnp.exp(power)
+                if moment:
+                    power = _power_matmul(poly, ent, tx, ty)
+                else:
+                    dx = px - ent[0:1, :]
+                    dy = py - ent[1:2, :]
+                    power = (-0.5 * (ent[2:3, :] * dx * dx
+                                     + ent[4:5, :] * dy * dy)
+                             - ent[3:4, :] * dx * dy)
+                ep = jnp.exp(power)
+                raw = ent[5:6, :] * ep
                 alpha = jnp.minimum(ALPHA_MAX, raw)
                 live = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
                 alpha = jnp.where(live, alpha, 0.0)
@@ -848,33 +882,48 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # (FEAT,CHUNK)
                 a_, b_, c_ = ent[2:3, :], ent[3:4, :], ent[4:5, :]
-                # Moment form of the geometry rows (see `poly` above). The
-                # entry center in tile-local coords (xe, ye) re-centers the
-                # raw moments; everything below the matmul is (1, CHUNK).
-                mom = jax.lax.dot_general(
-                    poly, dpow, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)       # (6, CHUNK)
-                xe = ent[0:1, :] - jnp.float32(tx)
-                ye = ent[1:2, :] - jnp.float32(ty)
-                s0 = mom[0:1, :]
-                e1x = mom[1:2, :] - xe * s0      # sum dpow * dx
-                e1y = mom[2:3, :] - ye * s0      # sum dpow * dy
-                exx = mom[3:4, :] - xe * (2.0 * mom[1:2, :] - xe * s0)
-                exy = (mom[4:5, :] - xe * mom[2:3, :] - ye * mom[1:2, :]
-                       + xe * ye * s0)
-                eyy = mom[5:6, :] - ye * (2.0 * mom[2:3, :] - ye * s0)
-                # dL/d opacity: wherever grad_ok, alpha = o * exp(power), so
-                # dalpha*exp(power) == dpow / o exactly (o > 0 when live).
-                dop_sum = s0 / jnp.maximum(ent[5:6, :], 1e-12)
-                geo = jnp.concatenate([
-                    a_ * e1x + b_ * e1y,
-                    b_ * e1x + c_ * e1y,
-                    -0.5 * exx,
-                    -exy,
-                    -0.5 * eyy,
-                    dop_sum,
-                ], axis=0)                                     # (6, CHUNK)
+                if moment:
+                    # Moment form of the geometry rows (see `poly` above).
+                    # The entry center in tile-local coords (xe, ye)
+                    # re-centers the raw moments; everything below the
+                    # matmul is (1, CHUNK).
+                    mom = jax.lax.dot_general(
+                        poly, dpow, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)   # (6, CHUNK)
+                    xe = ent[0:1, :] - jnp.float32(tx)
+                    ye = ent[1:2, :] - jnp.float32(ty)
+                    s0 = mom[0:1, :]
+                    e1x = mom[1:2, :] - xe * s0      # sum dpow * dx
+                    e1y = mom[2:3, :] - ye * s0      # sum dpow * dy
+                    exx = mom[3:4, :] - xe * (2.0 * mom[1:2, :] - xe * s0)
+                    exy = (mom[4:5, :] - xe * mom[2:3, :] - ye * mom[1:2, :]
+                           + xe * ye * s0)
+                    eyy = mom[5:6, :] - ye * (2.0 * mom[2:3, :] - ye * s0)
+                    # dL/d opacity: wherever grad_ok, alpha = o*exp(power),
+                    # so dalpha*exp(power) == dpow / o exactly (o > 0 when
+                    # live).
+                    dop_sum = s0 / jnp.maximum(ent[5:6, :], 1e-12)
+                    geo = jnp.concatenate([
+                        a_ * e1x + b_ * e1y,
+                        b_ * e1x + c_ * e1y,
+                        -0.5 * exx,
+                        -exy,
+                        -0.5 * eyy,
+                        dop_sum,
+                    ], axis=0)                                 # (6, CHUNK)
+                else:
+                    dop = dalpha * ep
+                    geo = jnp.concatenate([
+                        jnp.sum(dpow * (a_ * dx + b_ * dy), 0,
+                                keepdims=True),
+                        jnp.sum(dpow * (b_ * dx + c_ * dy), 0,
+                                keepdims=True),
+                        jnp.sum(-0.5 * dx * dx * dpow, 0, keepdims=True),
+                        jnp.sum(-dx * dy * dpow, 0, keepdims=True),
+                        jnp.sum(-0.5 * dy * dy * dpow, 0, keepdims=True),
+                        jnp.sum(dop, 0, keepdims=True),
+                    ], axis=0)                                 # (6, CHUNK)
                 # rows 0-5 of fg are zero (gmat has no geometry columns).
                 block = jnp.concatenate([geo, fg[6:, :]], axis=0)
 
@@ -938,7 +987,7 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int):
 @functools.lru_cache(maxsize=64)
 def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
                    two_key: bool, n_rows: int, budget: int,
-                   interpret: bool):
+                   interpret: bool, moment: bool = True):
     """custom_vjp'd (packed, owner, *keys) -> raw per-tile accumulators
     (T, FEAT+1, P): full feature sums + final transmittance row. The entry
     sort runs inside, so the backward can map entry gradients to packed
@@ -969,7 +1018,7 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
             ],
         )
         out = pl.pallas_call(
-            _fwd_kernel(tiles_x, tile, t_total, r_batch),
+            _fwd_kernel(tiles_x, tile, t_total, r_batch, moment),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((t_pad, FEAT + 1, p),
                                            jnp.float32),
@@ -1044,7 +1093,7 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
             dent_lane = dzero + aux.sum() * 0  # keep inputs live
         else:
             dent_lane = pl.pallas_call(
-                _bwd_kernel(tiles_x, tile, t_total, r_batch),
+                _bwd_kernel(tiles_x, tile, t_total, r_batch, moment),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((FEAT, e_pad), jnp.float32),
                 input_output_aliases={5: 0},
@@ -1158,7 +1207,8 @@ def rasterize_pallas(
         width, height, tile, int(entry_budget), max_span,
         interpret=interpret)
     comp = _composite_fns(tiles_x, t_total, tile, c,
-                          len(keys) == 2, n, int(entry_budget), interpret)
+                          len(keys) == 2, n, int(entry_budget), interpret,
+                          _moment_kernels_enabled())
     out = comp(packed, order, seg_end, *keys, *payload)
 
     def assemble(flat, channels):
