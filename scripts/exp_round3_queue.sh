@@ -1,11 +1,17 @@
 #!/bin/bash
-# Round-3 experiment queue: waits for the remote TPU to come back, then runs
-# the two pending REPORT experiments (benchmark config #2, reference-envelope
-# segmentation) and a fresh bench.py, each bounded by a timeout so a mid-run
-# re-wedge cannot hang the queue forever (training itself is resumed by
-# scripts/train_watchdog.py).
+# Round-3 experiment queue: waits for the remote TPU to come back, then
+#   1. A/Bs the moment-form kernels (landed during the wedge, CPU-validated
+#      only) against the direct-VPU variant via WHEAT3DGS_MOMENT_KERNELS,
+#      and applies the faster default to the working tree,
+#   2. runs the two pending REPORT experiments (benchmark config #2,
+#      reference-envelope segmentation),
+#   3. splices results into docs/REPORT.md (scripts/fill_report.py) and
+#      takes a final bench snapshot.
+# Every step is timeout-bounded so a mid-run re-wedge cannot hang the queue
+# (training itself is resumed by scripts/train_watchdog.py).
 #
-# Logs: /tmp/round3_queue.log (+ per-step /tmp/{bench2,segenv,bench}_final.txt)
+# Logs: /tmp/round3_queue.log (+ per-step /tmp/{bench_head,bench_vpu,
+# bench2,segenv,bench}_*.txt)
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/round3_queue.log
@@ -25,17 +31,50 @@ jax.block_until_ready(jnp.ones((256,256)) @ jnp.ones((256,256)))" \
   done
 }
 
+# Last {"metric": ...} JSON line of a bench log -> the "value" field, or -1.
+bench_value() {
+  python - "$1" <<'EOF'
+import json, sys
+val = -1.0
+try:
+    for line in open(sys.argv[1]):
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            val = json.loads(line).get("value", -1.0)
+except OSError:
+    pass
+print(val)
+EOF
+}
+
 log "queue start: waiting for TPU"
 wait_tpu
 log "TPU recovered"
 
-# HEAD sanity bench FIRST: the moment-form kernel commits landed while the
-# TPU was wedged (CPU-validated only); measure them before committing ~1.5h
-# of experiments to this code.
-log "bench_head start"
-timeout 2400 python bench.py > /tmp/bench_head.txt 2>&1
+# --- 1. kernel-variant A/B (moment-form landed TPU-unbenched) -----------
+log "bench_head (moment kernels) start"
+WHEAT3DGS_MOMENT_KERNELS=1 timeout 2400 python bench.py \
+    > /tmp/bench_head.txt 2>&1
 log "bench_head rc=$? $(tail -1 /tmp/bench_head.txt | head -c 200)"
 
+log "bench_vpu start"
+WHEAT3DGS_MOMENT_KERNELS=0 timeout 2400 python bench.py \
+    > /tmp/bench_vpu.txt 2>&1
+log "bench_vpu rc=$? $(tail -1 /tmp/bench_vpu.txt | head -c 200)"
+
+MOM=$(bench_value /tmp/bench_head.txt)
+VPU=$(bench_value /tmp/bench_vpu.txt)
+log "A/B it/s: moment=$MOM vpu=$VPU"
+# Flip the shipped default to the VPU variant only on a clear (>2%) win;
+# working-tree edit only — committed by the builder (or the round driver).
+if python -c "import sys; m, v = float('$MOM'), float('$VPU'); \
+sys.exit(0 if (m > 0 and v > 1.02 * m) else 1)"; then
+  sed -i 's/"WHEAT3DGS_MOMENT_KERNELS", "1"/"WHEAT3DGS_MOMENT_KERNELS", "0"/' \
+      wheat3dgs_tpu/ops/pallas_raster.py
+  log "default flipped to VPU variant (moment=$MOM < vpu=$VPU)"
+fi
+
+# --- 2. the two pending REPORT experiments -------------------------------
 if [ ! -f /tmp/wheat3dgs_bench2_model/results.json ] || \
    [ "${FORCE_BENCH2:-1}" = 1 ]; then
   log "bench2 start"
@@ -48,7 +87,12 @@ log "segenv start"
 timeout 7200 python scripts/exp_seg_envelope.py > /tmp/segenv_final.txt 2>&1
 log "segenv rc=$?"
 
+# --- 3. splice results + final snapshot ----------------------------------
+log "fill_report start"
+timeout 600 python scripts/fill_report.py > /tmp/fill_report.txt 2>&1
+log "fill_report rc=$?"
+
 log "bench start"
 timeout 2400 python bench.py > /tmp/bench_final.txt 2>&1
-log "bench rc=$?"
+log "bench rc=$? $(tail -1 /tmp/bench_final.txt | head -c 200)"
 log "queue done"
