@@ -87,12 +87,12 @@ log "segenv start"
 timeout 7200 python scripts/exp_seg_envelope.py > /tmp/segenv_final.txt 2>&1
 log "segenv rc=$?"
 
-# --- 3. splice results + final snapshot ----------------------------------
-log "fill_report start"
-timeout 600 python scripts/fill_report.py > /tmp/fill_report.txt 2>&1
-log "fill_report rc=$?"
-
+# --- 3. final snapshot, then splice everything into docs/REPORT.md -------
 log "bench start"
 timeout 2400 python bench.py > /tmp/bench_final.txt 2>&1
 log "bench rc=$? $(tail -1 /tmp/bench_final.txt | head -c 200)"
+
+log "fill_report start"
+timeout 600 python scripts/fill_report.py > /tmp/fill_report.txt 2>&1
+log "fill_report rc=$?"
 log "queue done"
