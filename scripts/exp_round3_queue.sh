@@ -87,6 +87,39 @@ log "segenv start"
 timeout 7200 python scripts/exp_seg_envelope.py > /tmp/segenv_final.txt 2>&1
 log "segenv rc=$?"
 
+# Envelope-scale 360 field video + morphology traits (BASELINE config #4)
+# on the segmented model, if the seg produced its artifact tree.
+if [ -d /tmp/wheat3dgs_segenv_model/wheat-head/envelope/ply ]; then
+  log "seg360 start"
+  timeout 1800 python render_360.py -m /tmp/wheat3dgs_segenv_model \
+      --exp_name envelope --render_type field --n_frames 60 \
+      > /tmp/seg360.txt 2>&1
+  log "seg360 rc=$?"
+  cat > /tmp/morph_envelope.yaml <<EOF
+data_folder: "/tmp/wheat3dgs_segenv_model/wheat-head/envelope/ply/"
+output_folder: "/tmp/morph_envelope_results/"
+file_format: "ply"
+subsampling_threshold: 5000
+clusterer_definition:
+  type: "hdbscan"
+  epsilon: 15
+  min_samples: 15
+  min_cluster_size: 250
+  epsilon_hdbscan: 0.015
+sor_parameters:
+  k: 200
+  std_ratio: 3
+splines_smoothing_value: 1
+distance_percentile: 99
+get_bboxes: true
+get_processed_pcd: true
+EOF
+  log "morphology start"
+  timeout 1800 python wheatheadsmorphology/main.py \
+      -c /tmp/morph_envelope.yaml > /tmp/morph_envelope.txt 2>&1
+  log "morphology rc=$?"
+fi
+
 # --- 3. final snapshot, then splice everything into docs/REPORT.md -------
 log "bench start"
 timeout 2400 python bench.py > /tmp/bench_final.txt 2>&1
