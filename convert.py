@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--camera", default="OPENCV", type=str)
     parser.add_argument("--colmap_executable", default="colmap", type=str)
     parser.add_argument("--resize", action="store_true")
+    parser.add_argument("--magick_executable", default="", type=str,
+                        help="accepted for reference-CLI compatibility "
+                             "(convert.py:25); resizes are computed with "
+                             "PIL, producing the same images_{2,4,8} tree")
     args = parser.parse_args(argv)
     colmap = args.colmap_executable
     if shutil.which(colmap) is None:

@@ -8,7 +8,8 @@ import zipfile
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def test_transforms_split(tmp_path):
@@ -20,16 +21,33 @@ def test_transforms_split(tmp_path):
     tj = tmp_path / "transforms.json"
     tj.write_text(json.dumps({"fl_x": 100.0, "frames": frames}))
 
-    train_p, test_p = create_train_test_splits(str(tj))
-    train = json.load(open(train_p))
-    test = json.load(open(test_p))
+    res = create_train_test_splits(str(tj))
+    train = json.load(open(res["train_path"]))
+    test = json.load(open(res["test_path"]))
     assert len(train["frames"]) == 10 and len(test["frames"]) == 2
     assert train["fl_x"] == 100.0
+    # reference also emits split.json for nerfstudio --data.split-path
+    split = json.load(open(res["split_path"]))
+    assert len(split["train"]) == 10 and len(split["test"]) == 2
 
-    out = add_split_lists(str(tj), str(tmp_path / "with_splits.json"))
+    # reference default: a NEW <stem>_with_splits.json next to the input
+    out = add_split_lists(str(tj))
+    assert out.endswith("transforms_with_splits.json")
     data = json.load(open(out))
     assert len(data["train_filenames"]) == 10
     assert data["val_filenames"] == data["test_filenames"]
+    assert json.load(open(tj))["frames"] == frames  # input untouched
+
+    # reference CLI spelling (--transforms_json flag, --output_prefix)
+    import subprocess, sys as _sys
+    r = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "create_train_test_jsons.py"),
+         "--transforms_json", str(tj),
+         "--output_prefix", str(tmp_path / "pfx")],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "pfx_train.json").exists()
+    assert (tmp_path / "pfx_split.json").exists()
 
 
 def test_summarize_results(tmp_path):
