@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from wheat3dgs_tpu import testing
-from wheat3dgs_tpu.ops import binning, raster, reference_raster
+from wheat3dgs_tpu.ops import binning, projection, raster, reference_raster
 
 
 @pytest.fixture(scope="module")
@@ -153,3 +153,35 @@ def test_ndc_offset_gradient_convention(scene):
     grad = jax.jit(jax.grad(loss_fn))(zeros)
     assert np.isfinite(np.asarray(grad)).all()
     assert np.abs(np.asarray(grad)).max() > 0
+
+
+def test_dead_lane_gradients_finite(scene):
+    """Zero-filled dead capacity lanes (the post-densify/prune state) must
+    not inject NaNs into ANY gradient leaf: norm()'s backward is q/|q|
+    (NaN at q=0) and survives every post-hoc where/max guard via 0*NaN.
+    Pins the rsqrt(|q|^2 + eps) normalize in ops/projection.py, which keeps
+    jax_debug_nans (--detect_anomaly / --debug_from) usable over training."""
+    _, cam = scene
+    g = testing.random_gaussians(n=16, seed=7, sh_degree=1)
+    dead = np.arange(16) >= 6
+    for key in g:
+        g[key] = np.asarray(g[key])
+        g[key][dead] = 0.0   # densify/prune zero-fills freed lanes
+    # one dead lane exactly at the camera center: dirs = 0 in the SH path
+    g["means3d"][6] = np.asarray(cam.cam_center)
+
+    def loss_fn(means3d, scales, quats, opacities, sh):
+        s = projection.project_gaussians(
+            means3d, scales, quats, opacities, cam.w2c, cam.full_proj,
+            cam.cam_center, cam.tanfovx, cam.tanfovy, cam.width, cam.height,
+            sh=sh, sh_degree=1)
+        out = raster.rasterize(s, cam.width, cam.height,
+                               max_tiles_per_gauss=32, max_per_tile=128)
+        return (out.color ** 2).mean() + out.depth.mean() + out.alpha.mean()
+
+    args = (jnp.asarray(g["means3d"]), jnp.asarray(g["scales"]),
+            jnp.asarray(g["quats"]), jnp.asarray(g["opacities"]),
+            jnp.asarray(g["sh"]))
+    grads = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))(*args)
+    for name, gr in zip(("means", "scales", "quats", "opac", "sh"), grads):
+        assert np.isfinite(np.asarray(gr)).all(), f"NaN/inf grad in {name}"

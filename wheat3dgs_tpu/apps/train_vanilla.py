@@ -59,7 +59,8 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
              pipe: cfg.PipelineParams, test_iterations, save_iterations,
              checkpoint_iterations, start_checkpoint: str | None,
              quiet: bool = False, raster_config: RasterConfig | None = None,
-             log_every: int = 100, profile: bool = False):
+             log_every: int = 100, profile: bool = False,
+             debug_from: int = -1):
     model = prepare_output(model)
     scene = Scene(model, sh_degree=model.sh_degree)
     width, height = scene.image_size
@@ -115,6 +116,8 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
                 * opt.densification_interval,
                 it + 49, opt.iterations]
         ends += [e for e in end_events if e >= it]
+        if debug_from >= it:       # flip jax_debug_nans on a block boundary
+            ends.append(debug_from)
         # strict starts: next SH multiple / profile start => end just before
         nxt_sh = (it // 1000 + 1) * 1000 if it % 1000 else it + 1000
         ends.append(nxt_sh - 1)
@@ -124,6 +127,11 @@ def training(model: cfg.ModelParams, opt: cfg.OptimizationParams,
 
     it = first_iter + 1
     while it <= opt.iterations:
+        # Reference train_vanilla_3dgs.py:68: rasterizer debug mode from
+        # iteration debug_from+1 on; the TPU analogue is NaN anomaly checks.
+        if debug_from >= 0 and it == debug_from + 1 \
+                and not jax.config.jax_debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if it == profile_at:   # trace 20 steady-state steps (SURVEY.md §5.1)
             jax.profiler.start_trace(os.path.join(model.model_path,
                                                   "profile"))
@@ -205,6 +213,11 @@ def main(argv=None):
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace of 20 hot steps")
     parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--debug_from", type=int, default=-1,
+                        help="iteration from which to enable NaN anomaly "
+                             "detection (reference train_vanilla_3dgs.py:188"
+                             " flips the rasterizer debug mode; the TPU "
+                             "analogue is jax_debug_nans)")
     parser.add_argument("--max_per_tile", type=int, default=512)
     parser.add_argument("--max_tiles_per_gauss", type=int, default=16)
     args = parser.parse_args(argv)
@@ -222,7 +235,7 @@ def main(argv=None):
     training(model, opt, pipe, set(args.test_iterations),
              set(args.save_iterations), set(args.checkpoint_iterations),
              args.start_checkpoint, quiet=args.quiet, raster_config=rconf,
-             profile=args.profile)
+             profile=args.profile, debug_from=args.debug_from)
     print("Training done.")
 
 

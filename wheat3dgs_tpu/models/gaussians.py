@@ -227,7 +227,12 @@ def densify_and_prune(
     """
     cap = state.capacity
     p = state.params
-    grads = jnp.where(state.denom > 0, state.grad_accum / state.denom, 0.0)
+    # max(denom, 1) keeps the dead lanes NaN-free so jax_debug_nans
+    # (--detect_anomaly / --debug_from) can run over densify events; the
+    # where() still zeroes them (reference zeroes NaNs after the fact,
+    # scene/gaussian_model.py's densify_and_prune).
+    grads = jnp.where(state.denom > 0,
+                      state.grad_accum / jnp.maximum(state.denom, 1.0), 0.0)
     scales = jnp.exp(p.log_scales)
     max_scale = scales.max(axis=1)
     opacity = jax.nn.sigmoid(p.opacity_logit)

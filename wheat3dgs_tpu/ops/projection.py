@@ -110,7 +110,16 @@ def project_gaussians(
     W = w2c[:3, :3]
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
-    qn = quats / jnp.linalg.norm(quats, axis=1, keepdims=True)
+    # Dead capacity lanes hold all-zero quats, and norm() has a NaN
+    # *backward* at 0 (q/|q|) that no post-hoc clamp can mask (0 * NaN =
+    # NaN) — it would break jax_debug_nans (--detect_anomaly/--debug_from).
+    # Substitute the identity quat on exactly-zero lanes BEFORE the norm:
+    # live lanes (init |q|=1, never near zero) stay bit-identical to the
+    # plain normalize, dead lanes get finite zero gradients through where().
+    q_sq = jnp.sum(quats * quats, axis=1, keepdims=True)
+    unit_w = jnp.zeros_like(quats).at[:, 0].set(1.0)
+    q_safe = jnp.where(q_sq > 0.0, quats, unit_w)
+    qn = q_safe / jnp.linalg.norm(q_safe, axis=1, keepdims=True)
     qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
     sx_, sy_, sz_ = (scales[:, 0] * scale_modifier,
                      scales[:, 1] * scale_modifier,
@@ -160,6 +169,9 @@ def project_gaussians(
         if sh is None:
             raise ValueError("either sh or colors must be given")
         dirs = means3d - cam_center[None, :]
+        # same NaN-backward-at-zero guard as the quat normalize above
+        d_sq = jnp.sum(dirs * dirs, axis=1, keepdims=True)
+        dirs = jnp.where(d_sq > 0.0, dirs, jnp.ones_like(dirs))
         dirs = dirs / (jnp.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9)
         color = sh_utils.sh_to_rgb(sh_degree, sh, dirs)
     else:
