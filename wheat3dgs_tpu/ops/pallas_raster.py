@@ -93,14 +93,17 @@ _PROF_SKIP = tuple(
 
 
 def _moment_kernels_enabled() -> bool:
-    """WHEAT3DGS_MOMENT_KERNELS=0 rebuilds the compositing kernels with the
-    direct VPU pixel-polynomial + per-row reductions instead of the MXU
-    moment-form matmuls — same math, different schedule — for on-chip A/B
-    attribution of the moment-kernel commit. Read when a kernel variant is
-    built; the variant is part of the build cache key, but flipping the env
-    mid-process only affects shapes not yet jitted (use jax.clear_caches()
-    in tests)."""
-    return _os.environ.get("WHEAT3DGS_MOMENT_KERNELS", "1") != "0"
+    """WHEAT3DGS_MOMENT_KERNELS=1 rebuilds the compositing kernels with the
+    MXU moment-form matmuls instead of the direct VPU pixel-polynomial +
+    per-row reductions — same math, different schedule. The on-chip A/B
+    (2026-08-18, v5e, bench scene @103k splats) measured the VPU variant
+    faster: 17.9 vs 15.6 train it/s and 49.0 vs 40.3 render FPS — the
+    f32-HIGHEST moment matmuls cost more MXU passes than the polynomial
+    costs VPU lanes — so the VPU form is the default. Read when a kernel
+    variant is built; the variant is part of the build cache key, but
+    flipping the env mid-process only affects shapes not yet jitted (use
+    jax.clear_caches() in tests)."""
+    return _os.environ.get("WHEAT3DGS_MOMENT_KERNELS", "0") != "0"
 
 
 def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
