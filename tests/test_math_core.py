@@ -134,6 +134,23 @@ class TestLosses:
         g = jax.grad(lambda x: losses.ssim(x, b))(a)
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_ssim_analytic_backward_matches_autodiff(self):
+        """The custom_vjp (3 extra blurs; XLA's tap-transpose backward
+        measured ~6 ms/step on TPU) must equal plain autodiff of the map."""
+        rng = np.random.default_rng(6)
+        a = jnp.asarray(rng.uniform(size=(2, 3, 21, 17)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(size=(2, 3, 21, 17)).astype(np.float32))
+
+        def ref(x, y):  # same math, no custom_vjp
+            w = losses._gaussian_window(11, 1.5)
+            return losses._ssim_map(x, y, w)[0].mean()
+
+        g_ref = jax.grad(ref, argnums=(0, 1))(a, b)
+        g_new = jax.grad(losses.ssim, argnums=(0, 1))(a, b)
+        for r, n in zip(g_ref, g_new):
+            scale = float(jnp.max(jnp.abs(r))) + 1e-12
+            assert float(jnp.max(jnp.abs(r - n))) / scale < 1e-5
+
 
 class TestGeneral:
     def test_expon_lr_endpoints(self):

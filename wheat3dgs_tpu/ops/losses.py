@@ -66,19 +66,8 @@ def _depthwise_blur(img: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
     return out2
 
 
-@functools.partial(jax.jit, static_argnames=("window_size", "size_average"))
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
-         size_average: bool = True) -> jnp.ndarray:
-    """Structural similarity, matching the reference's windowed conv SSIM.
-
-    Accepts (C, H, W) or (B, C, H, W). Note: the reference's 2D window is the
-    outer product of two 1D Gaussians, so the separable form is exact.
-    """
-    squeeze = img1.ndim == 3
-    if squeeze:
-        img1, img2 = img1[None], img2[None]
-    window = _gaussian_window(window_size, 1.5)  # static taps
-
+def _ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window: np.ndarray):
+    """SSIM map + the intermediates the analytic backward reuses."""
     # NOTE: batching the 5 blurs over a concatenated (5B, C, H, W) tensor
     # measured ~9 ms SLOWER in the fused train step (the concat
     # materializes copies XLA otherwise elides) — keep separate calls.
@@ -90,11 +79,78 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     sigma12 = _depthwise_blur(img1 * img2, window) - mu1_mu2
 
     c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    a1 = 2 * mu1_mu2 + c1
+    a2 = 2 * sigma12 + c2
+    b1 = mu1_sq + mu2_sq + c1
+    b2 = sigma1_sq + sigma2_sq + c2
+    ssim_map = (a1 * a2) / (b1 * b2)
+    return ssim_map, (mu1, mu2, a1, a2, b1, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _ssim_mean(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int):
+    """mean(SSIM map) over (B, C, H, W) with an ANALYTIC backward.
+
+    XLA's autodiff of the shift-add blur transposes each of the 22 taps into
+    its own pad+add materialization (~6 ms/step at 1600x1200 on a v5e,
+    measured vs 0.35 ms for the whole forward). The blur kernel is symmetric
+    (self-adjoint), so d(img1) needs only THREE more forward blurs:
+      dL/dx = G*(u dM/dmu1) + 2x G*(u dM/ds11) - 2 G*(u dM/ds11 mu1)
+            + y G*(u dM/ds12) -   G*(u dM/ds12 mu2)
+    with M = (A1 A2)/(B1 B2), dM/dmu1 = 2 mu2 A2/(B1 B2) - 2 mu1 M/B1,
+    dM/ds11 = -M/B2, dM/ds12 = 2 A1/(B1 B2); d(img2) is the mirror image.
+    """
+    window = _gaussian_window(window_size, 1.5)
+    return _ssim_map(img1, img2, window)[0].mean()
+
+
+def _ssim_mean_fwd(img1, img2, window_size):
+    window = _gaussian_window(window_size, 1.5)
+    ssim_map, (mu1, mu2, a1, a2, b1, b2) = _ssim_map(img1, img2, window)
+    return ssim_map.mean(), (img1, img2, mu1, mu2, a1, a2, b1, b2)
+
+
+def _ssim_mean_bwd(window_size, res, g):
+    img1, img2, mu1, mu2, a1, a2, b1, b2 = res
+    window = _gaussian_window(window_size, 1.5)
+    u = g / img1.size                       # cotangent of the map mean
+    inv_d = 1.0 / (b1 * b2)
+    m = (a1 * a2) * inv_d
+    dmu_common = 2.0 * a2 * inv_d           # dM/dmu1 = mu2*that - mu1*2M/b1
+    ds_cross = u * (2.0 * a1 * inv_d)       # u * dM/ds12
+    dsame = u * (-m / b2)                   # u * dM/ds11 (= dM/ds22)
+
+    def grad_one(x, y, mux, muy):
+        t1 = u * (muy * dmu_common - mux * (2.0 * m / b1))
+        blur1 = _depthwise_blur(
+            t1 - 2.0 * dsame * mux - ds_cross * muy, window)
+        blur2 = _depthwise_blur(dsame, window)
+        blur3 = _depthwise_blur(ds_cross, window)
+        return blur1 + 2.0 * x * blur2 + y * blur3
+
+    return grad_one(img1, img2, mu1, mu2), grad_one(img2, img1, mu2, mu1)
+
+
+_ssim_mean.defvjp(_ssim_mean_fwd, _ssim_mean_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "size_average"))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         size_average: bool = True) -> jnp.ndarray:
+    """Structural similarity, matching the reference's windowed conv SSIM.
+
+    Accepts (C, H, W) or (B, C, H, W). Note: the reference's 2D window is the
+    outer product of two 1D Gaussians, so the separable form is exact. The
+    size_average=True path (the training loss) carries an analytic custom
+    backward (see _ssim_mean); the per-image path differentiates via XLA.
+    """
+    squeeze = img1.ndim == 3
+    if squeeze:
+        img1, img2 = img1[None], img2[None]
     if size_average:
-        return ssim_map.mean()
-    out = ssim_map.mean(axis=(1, 2, 3))
+        return _ssim_mean(img1, img2, window_size)
+    window = _gaussian_window(window_size, 1.5)  # static taps
+    out = _ssim_map(img1, img2, window)[0].mean(axis=(1, 2, 3))
     return out[0] if squeeze else out
 
 
