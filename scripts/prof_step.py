@@ -222,3 +222,20 @@ bench("F full loss fwd (L1+SSIM)", lambda s: loss_fwd(s.params, s), state)
 bench("G full value_and_grad", full_grad, state)
 bench("I grad L1-only (no SSIM)", lambda s: jax.grad(loss_l1_only)(
     s.params, s), state)
+
+
+def full_step(state):
+    """The ACTUAL train step (value_and_grad + Adam + densify stats +
+    metrics) — the H-G delta is pure optimizer/stats/glue cost."""
+    from wheat3dgs_tpu.training import _step_core
+    w2c, fp, cc, tfx, tfy = cam
+    st, m = _step_core(
+        state, w2c[None], fp[None], cc[None], jnp.asarray(tfx)[None],
+        jnp.asarray(tfy)[None], gt[None], jnp.zeros(3, jnp.float32),
+        jnp.int32(1000), 1.0, sh_degree=SH, width=W, height=H, opt=opt,
+        config=dataclasses.replace(trainer.config, entry_budget=BUDGET))
+    return m, st   # return EVERYTHING so XLA cannot DCE any of the step
+
+
+import dataclasses  # noqa: E402
+bench("H full train_step (G + Adam + stats)", full_step, state)
