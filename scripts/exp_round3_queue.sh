@@ -51,27 +51,14 @@ log "queue start: waiting for TPU"
 wait_tpu
 log "TPU recovered"
 
-# --- 1. kernel-variant A/B (moment-form landed TPU-unbenched) -----------
-log "bench_head (moment kernels) start"
-WHEAT3DGS_MOMENT_KERNELS=1 timeout 2400 python bench.py \
-    > /tmp/bench_head.txt 2>&1
-log "bench_head rc=$? $(tail -1 /tmp/bench_head.txt | head -c 200)"
-
-log "bench_vpu start"
-WHEAT3DGS_MOMENT_KERNELS=0 timeout 2400 python bench.py \
-    > /tmp/bench_vpu.txt 2>&1
-log "bench_vpu rc=$? $(tail -1 /tmp/bench_vpu.txt | head -c 200)"
-
-MOM=$(bench_value /tmp/bench_head.txt)
-VPU=$(bench_value /tmp/bench_vpu.txt)
-log "A/B it/s: moment=$MOM vpu=$VPU"
-# Flip the shipped default to the VPU variant only on a clear (>2%) win;
-# working-tree edit only — committed by the builder (or the round driver).
-if python -c "import sys; m, v = float('$MOM'), float('$VPU'); \
-sys.exit(0 if (m > 0 and v > 1.02 * m) else 1)"; then
-  sed -i 's/"WHEAT3DGS_MOMENT_KERNELS", "1"/"WHEAT3DGS_MOMENT_KERNELS", "0"/' \
-      wheat3dgs_tpu/ops/pallas_raster.py
-  log "default flipped to VPU variant (moment=$MOM < vpu=$VPU)"
+# --- 1. HEAD bench (kernel A/B already decided + committed: 1e4a893) ----
+# Validates the newest perf-relevant commits (analytic SSIM backward) on
+# chip BEFORE committing hours to the long experiments; a regression here
+# is caught in ~20 min instead of discovered after bench2.
+if [ "${SKIP_HEAD_BENCH:-0}" != 1 ]; then
+  log "bench_head start"
+  timeout 2400 python bench.py > /tmp/bench_head.txt 2>&1
+  log "bench_head rc=$? $(tail -1 /tmp/bench_head.txt | head -c 200)"
 fi
 
 # --- 2. the two pending REPORT experiments -------------------------------
