@@ -61,7 +61,7 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/wheat3dgs_jax_cache_tpu")
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from wheat3dgs_tpu.config import ModelParams, OptimizationParams

@@ -4,6 +4,7 @@ Times, on the real TPU: lax.sort at several sizes/operand counts,
 scatter-max allocation, cummax, gathers, sorted segment-sum — the building
 blocks of (a) two-tier expansion vs (b) exact-entry allocation.
 """
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/wheat3dgs_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache", "tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 N = 131072

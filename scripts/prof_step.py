@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/wheat3dgs_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache", "tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from wheat3dgs_tpu.config import ModelParams, OptimizationParams

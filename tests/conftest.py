@@ -22,7 +22,7 @@ if not os.environ.get("WHEAT3DGS_TEST_TPU"):
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: raster compiles dominate test wall time otherwise.
-jax.config.update("jax_compilation_cache_dir", "/tmp/wheat3dgs_jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache", "cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

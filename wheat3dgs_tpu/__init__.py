@@ -30,8 +30,9 @@ def _enable_compile_cache():
     WHEAT3DGS_COMPILE_CACHE (empty string disables)."""
     import os
 
-    path = os.environ.get("WHEAT3DGS_COMPILE_CACHE",
-                          "/tmp/wheat3dgs_jax_cache")
+    default = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache", "default")
+    path = os.environ.get("WHEAT3DGS_COMPILE_CACHE", default)
     if not path:
         return
     try:
