@@ -239,3 +239,43 @@ def full_step(state):
 
 import dataclasses  # noqa: E402
 bench("H full train_step (G + Adam + stats)", full_step, state)
+
+
+# --- J/K: the bench-style scanned WINDOW (train_step_scan) --------------
+# bench.py times WINDOW-sized scan blocks over rotating views; prof stage H
+# times one fixed-view step. J-H therefore splits into scan-program
+# overhead (K-H, same fixed view inside the scan) and per-view cost
+# variability (J-K, rotating views exactly like bench).
+def _window(state, view_idx, n_steps):
+    from wheat3dgs_tpu.training import train_step_scan
+    stacks = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    w2c_s, fp_s, cc_s, tfx_s, tfy_s = stacks
+    st, m = train_step_scan(
+        state, w2c_s, fp_s, cc_s, jnp.asarray(tfx_s), jnp.asarray(tfy_s),
+        gt_images, view_idx, jnp.zeros(3, jnp.float32), jnp.int32(1000),
+        n_steps=n_steps, sh_degree=SH, width=W, height=H, opt=opt,
+        config=dataclasses.replace(trainer.config, entry_budget=BUDGET))
+    return st, m
+
+
+WIN = 20
+rng_v = np.random.default_rng(1)
+vi_rot = jnp.asarray(rng_v.integers(len(cams), size=WIN), jnp.int32)
+vi_fix = jnp.zeros((WIN,), jnp.int32)
+
+
+def bench_window(name, view_idx, reps=max(2, args.reps // 2)):
+    jfn = jax.jit(functools.partial(_window, n_steps=WIN))
+    out = jfn(state, view_idx)
+    jax.block_until_ready(out[1]["loss"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jfn(state, view_idx)
+    jax.block_until_ready(out[1]["loss"])
+    per = (time.perf_counter() - t0) / reps / WIN * 1e3
+    print(f"{name:48s} {per:8.2f} ms")
+
+
+import functools  # noqa: E402
+bench_window(f"K scan window x{WIN}, FIXED view (/step)", vi_fix)
+bench_window(f"J scan window x{WIN}, rotating views (/step)", vi_rot)
