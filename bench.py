@@ -77,7 +77,7 @@ def main():
     # a realistic post-densify population (the round-1 bench measured at
     # 4-21k splats, an order of magnitude under production scenes).
     scene_dir = os.environ.get("WHEAT3DGS_BENCH_SCENE",
-                               "/tmp/wheat3dgs_bench_scene_100k")
+                               os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "scene_100k"))
     width = int(os.environ.get("WHEAT3DGS_BENCH_W", "1600"))
     height = int(os.environ.get("WHEAT3DGS_BENCH_H", "1200"))
     iters = int(os.environ.get("WHEAT3DGS_BENCH_ITERS", "600"))

@@ -39,7 +39,7 @@ from wheat3dgs_tpu.render.pipeline import RasterConfig, inference_config
 from wheat3dgs_tpu.scene import Scene
 from wheat3dgs_tpu.training import Trainer, entry_demand_probe
 
-SCENE = os.environ.get("WHEAT3DGS_BENCH_SCENE", "/tmp/wheat3dgs_bench_scene_100k")
+SCENE = os.environ.get("WHEAT3DGS_BENCH_SCENE", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_cache", "scene_100k"))
 CKPT = "/tmp/prof_burnin_state.npz"
 W, H, SH, TILE = 1600, 1200, 3, 32
 

@@ -195,3 +195,36 @@ def test_convert_lpips_weights_roundtrip(weights, tmp_path):
     convert(str(vgg_pth), None, str(out2))
     val = float(load_lpips(str(out2))(x, y))
     assert np.isfinite(val) and val > 0.0
+
+
+@pytest.mark.parametrize("net", ["vgg", "alex", "squeeze"])
+def test_synthesized_backbones(net, tmp_path):
+    """synthesize_lpips_weights: all three reference backbones
+    (lpipsPyTorch/modules/networks.py:66-99) produce a deterministic,
+    labeled artifact whose distance is 0 at x==x and positive otherwise."""
+    from wheat3dgs_tpu.ops import lpips as L
+
+    p1 = tmp_path / f"{net}_a.npz"
+    p2 = tmp_path / f"{net}_b.npz"
+    L.synthesize_lpips_weights(str(p1), net, seed=0)
+    L.synthesize_lpips_weights(str(p2), net, seed=0)
+    d1, d2 = dict(np.load(p1)), dict(np.load(p2))
+    for k in d1:
+        np.testing.assert_array_equal(d1[k], d2[k])   # deterministic
+    assert L.is_untrained(str(p1))
+
+    fn = L.load_lpips(str(p1))                        # net auto-detected
+    rng = np.random.default_rng(0)
+    # Large enough that squeeze's stride-2 conv + 3 ceil-mode pools and
+    # alex's stride-4 conv keep nonzero spatial dims at the last tap.
+    x = rng.random((3, 72, 72), np.float32)
+    y = np.clip(x + rng.normal(0, 0.15, x.shape).astype(np.float32), 0, 1)
+    assert float(fn(x, x)) == pytest.approx(0.0, abs=1e-6)
+    v = float(fn(x, y))
+    assert np.isfinite(v) and v > 0.0
+
+    # Per-net tap-channel parity with the reference n_channels_list.
+    assert tuple(L.LIN_CHANNELS[net]) == {
+        "vgg": (64, 128, 256, 512, 512),
+        "alex": (64, 192, 384, 256, 256),
+        "squeeze": (64, 128, 256, 384, 384, 512, 512)}[net]

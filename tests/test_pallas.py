@@ -307,3 +307,85 @@ def test_moment_form_power_and_geometry_rows():
     np.testing.assert_allclose(np.asarray(rows) / scale,
                                np.asarray(ref_rows) / scale,
                                rtol=0, atol=3e-4)
+
+
+def test_fwd_only_matches_pallas_forward():
+    """rasterize_pallas_fwd == rasterize_pallas forward (same compositing
+    math, trimmed payload/output), across channel subsets."""
+    import numpy as np
+
+    from wheat3dgs_tpu import testing
+    from wheat3dgs_tpu.ops.pallas_raster import (rasterize_pallas,
+                                                 rasterize_pallas_fwd)
+
+    cam = testing.look_at_camera(width=96, height=64)
+    g = testing.random_gaussians(n=60, seed=11, spread=0.8)
+    s = testing.project_scene(g, cam, use_colors=True)
+    interp = jax.default_backend() == "cpu"
+    bg = jnp.asarray([0.2, 0.4, 0.1])
+
+    full = rasterize_pallas(s, 96, 64, bg, tile=32, entry_budget=2048,
+                            interpret=interp)
+    fwd = rasterize_pallas_fwd(s, 96, 64, bg, tile=32, entry_budget=2048,
+                               interpret=interp)
+    np.testing.assert_allclose(np.asarray(fwd.color),
+                               np.asarray(full.color), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fwd.depth),
+                               np.asarray(full.depth), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fwd.alpha),
+                               np.asarray(full.alpha), atol=1e-5)
+
+    # Alpha-only (6 sort operands) and alpha+depth subsets agree too.
+    a_only = rasterize_pallas_fwd(s, 96, 64, tile=32, entry_budget=2048,
+                                  interpret=interp, with_color=False,
+                                  with_depth=False)
+    assert a_only.color is None and a_only.depth is None
+    np.testing.assert_allclose(np.asarray(a_only.alpha),
+                               np.asarray(full.alpha), atol=1e-5)
+    ad = rasterize_pallas_fwd(s, 96, 64, tile=32, entry_budget=2048,
+                              interpret=interp, with_color=False,
+                              with_depth=True)
+    np.testing.assert_allclose(np.asarray(ad.depth),
+                               np.asarray(full.depth), atol=1e-5)
+    assert int(a_only.entries_alive) == int(full.entries_alive)
+
+
+def test_render_fwd_pipeline_parity():
+    """render_fwd (pallas) == render (pallas) == render (xla) on the same
+    state/camera, including the used_mask path."""
+    import numpy as np
+
+    from wheat3dgs_tpu import testing
+    from wheat3dgs_tpu.models import gaussians as G
+    from wheat3dgs_tpu.render.pipeline import (RasterConfig, render,
+                                               render_fwd)
+
+    w, h = 64, 64
+    tc = testing.look_at_camera(width=w, height=h)
+    g = testing.random_gaussians(n=40, seed=3, spread=0.7)
+    state = G.create_from_pcd(g["means3d"], g["colors"], sh_degree=2,
+                              capacity=64)
+    cam = (jnp.asarray(tc.w2c), jnp.asarray(tc.full_proj),
+           jnp.asarray(tc.cam_center), jnp.float32(tc.tanfovx),
+           jnp.float32(tc.tanfovy))
+    cfg_p = RasterConfig(backend="pallas", entry_budget=4096)
+    cfg_x = RasterConfig(backend="xla", max_tiles_per_gauss=32,
+                         max_per_tile=256, tile_batch=8)
+    a = render(state, *cam, w, h, 2, config=cfg_p)
+    b = render_fwd(state, *cam, w, h, 2, config=cfg_p)
+    c = render(state, *cam, w, h, 2, config=cfg_x)
+    np.testing.assert_allclose(np.asarray(b.color), np.asarray(a.color),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.color), np.asarray(c.color),
+                               atol=2e-3)
+
+    mask = np.zeros(state.capacity, bool)
+    mask[: state.capacity // 2] = True
+    bm = render_fwd(state, *cam, w, h, 2, used_mask=jnp.asarray(mask),
+                    config=cfg_p, with_color=False, with_depth=True)
+    cm = render(state, *cam, w, h, 2, used_mask=jnp.asarray(mask),
+                config=cfg_x)
+    np.testing.assert_allclose(np.asarray(bm.alpha), np.asarray(cm.alpha),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bm.depth), np.asarray(cm.depth),
+                               atol=2e-3)

@@ -56,18 +56,45 @@ def test_binning_matches_bruteforce(scene):
                               max_tiles_per_gauss=32, max_per_tile=128)
     tiles_x, tiles_y = binning.num_tiles(cam.width, cam.height, 16)
     xy = np.asarray(s.xy)
-    radius = np.asarray(s.radius)
+    radius = np.asarray(s.radius).astype(np.float64)
     depth = np.asarray(s.depth)
+    conic = np.asarray(s.conic)
+    opac = np.asarray(s.opacity)
+    # Brute-force mirror of binning.ellipse_aabb: the exact alpha>=1/255
+    # level-set AABB, capped at the reference 3-sigma radius box.
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = (a * c - b * b).astype(np.float32)
+    q_max = (np.maximum(2.0 * np.log(np.maximum(opac, 1e-12) * 255.0),
+                        0.0) + 1e-3).astype(np.float32)
+    good = det > 1e-12
+    radius = radius.astype(np.float32)
+    wx = np.sqrt(np.maximum(q_max * c / np.where(good, det, 1.0),
+                            0.0)).astype(np.float32)
+    wy = np.sqrt(np.maximum(q_max * a / np.where(good, det, 1.0),
+                            0.0)).astype(np.float32)
+    wx = np.where(good, np.minimum(wx + np.float32(1e-3), radius), radius)
+    wy = np.where(good, np.minimum(wy + np.float32(1e-3), radius), radius)
     for t in range(tiles_x * tiles_y):
         tx, ty = t % tiles_x, t // tiles_x
         expect = []
         for i in range(len(xy)):
             if radius[i] <= 0:
                 continue
-            x0 = np.clip((xy[i, 0] - radius[i]) // 16, 0, tiles_x)
-            x1 = np.clip((xy[i, 0] + radius[i] + 15) // 16, 0, tiles_x)
-            y0 = np.clip((xy[i, 1] - radius[i]) // 16, 0, tiles_y)
-            y1 = np.clip((xy[i, 1] + radius[i] + 15) // 16, 0, tiles_y)
+            # reference getRect radius rect ∩ exact (floor/ceil) AABB rect
+            rx0 = np.clip(np.int32((xy[i, 0] - radius[i]) / 16), 0, tiles_x)
+            rx1 = np.clip(np.int32((xy[i, 0] + radius[i] + 15) / 16),
+                          0, tiles_x)
+            ry0 = np.clip(np.int32((xy[i, 1] - radius[i]) / 16), 0, tiles_y)
+            ry1 = np.clip(np.int32((xy[i, 1] + radius[i] + 15) / 16),
+                          0, tiles_y)
+            x0 = max(rx0, np.clip(np.int32(np.floor(
+                (xy[i, 0] - wx[i]) / np.float32(16))), 0, tiles_x))
+            x1 = min(rx1, np.clip(np.int32(np.floor(
+                (xy[i, 0] + wx[i]) / np.float32(16))) + 1, 0, tiles_x))
+            y0 = max(ry0, np.clip(np.int32(np.floor(
+                (xy[i, 1] - wy[i]) / np.float32(16))), 0, tiles_y))
+            y1 = min(ry1, np.clip(np.int32(np.floor(
+                (xy[i, 1] + wy[i]) / np.float32(16))) + 1, 0, tiles_y))
             if x0 <= tx < x1 and y0 <= ty < y1:
                 expect.append(i)
         expect.sort(key=lambda i: depth[i])

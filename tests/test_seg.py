@@ -38,6 +38,11 @@ def test_lift_mask_matches_naive_weights():
     for l in range(3):
         want[l, order] = w[labels_flat == l].sum(axis=0)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # API parity tail (gaussian_renderer/__init__.py:203-204): per-Gaussian
+    # projected pixel center + view depth ride the LiftOut.
+    np.testing.assert_allclose(np.asarray(out.proj_xy), np.asarray(s.xy))
+    np.testing.assert_allclose(np.asarray(out.gs_depth), np.asarray(s.depth))
     # alpha image agrees with weight sums
     np.testing.assert_allclose(np.asarray(out.alpha).ravel(),
                                w.sum(axis=1), atol=1e-5)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfg
-from ..render.pipeline import RasterConfig, render_jit
+from ..render.pipeline import RasterConfig, render_fwd_jit
 from ..scene import Scene
 from ..seg.eval import eval_obj_labels, labels_from_seg_maps
 from ..seg.pipeline import load_pt, save_pt
@@ -41,7 +41,7 @@ def render_set(scene: Scene, split: str, obj_labels, bg,
     from PIL import Image
 
     for i, meta in enumerate(group.metas):
-        out = render_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
+        out = render_fwd_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
                          sh_degree=scene.sh_degree, bg=bg, config=config)
         pred = np.asarray(eval_obj_labels(
             scene.gaussians, labels, *scene.cam_arrays(split, i),

@@ -34,8 +34,18 @@ def evaluate(model_paths, lpips_weights: str | None = None):
     # reference-compatible `python metrics.py -m ...` CLI emits LPIPS too
     # when a converted weights npz is available).
     lpips_weights = lpips_weights or os.environ.get("WHEAT3DGS_LPIPS_WEIGHTS")
+    lpips_note = None
+    if lpips_weights in ("auto", "auto:vgg", "auto:alex", "auto:squeeze"):
+        # Deterministic He-init stand-in (zero-egress sandbox has no
+        # pretrained weights) — numeric and reproducible, but NOT comparable
+        # to published LPIPS; results are labeled below.
+        net = lpips_weights.split(":")[1] if ":" in lpips_weights else "vgg"
+        lpips_weights = lpips_mod.default_weights(net)
     if lpips_weights and os.path.exists(lpips_weights):
         lpips_fn = lpips_mod.load_lpips(lpips_weights)
+        if lpips_mod.is_untrained(lpips_weights):
+            lpips_note = ("untrained He-init backbone (synthesize_lpips_"
+                          "weights) — not comparable to published LPIPS")
 
     for model_path in model_paths:
         print("Scene:", model_path)
@@ -61,6 +71,8 @@ def evaluate(model_paths, lpips_weights: str | None = None):
                 "SSIM": float(np.mean(ssims)),
                 "PSNR": float(np.mean(psnrs)),
                 "LPIPS": float(np.mean(lpipss)) if lpips_fn else None}
+            if lpips_note:
+                full[method]["LPIPS_note"] = lpips_note
             per_view[method] = {
                 "SSIM": dict(zip(names, map(float, ssims))),
                 "PSNR": dict(zip(names, map(float, psnrs))),
@@ -81,7 +93,9 @@ def main(argv=None):
              "/.bias) + LPIPS heads (lin<k>.model.1.weight); build one "
              "from the standard checkpoints with "
              "scripts/convert_lpips_weights.py. Also read from "
-             "WHEAT3DGS_LPIPS_WEIGHTS. Without it LPIPS is emitted null.")
+             "WHEAT3DGS_LPIPS_WEIGHTS. 'auto[:vgg|alex|squeeze]' uses the "
+             "deterministic untrained stand-in (labeled in results.json). "
+             "Without it LPIPS is emitted null.")
     args = parser.parse_args(argv)
     evaluate(args.model_paths, args.lpips_weights)
 

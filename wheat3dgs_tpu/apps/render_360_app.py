@@ -23,7 +23,7 @@ from .. import config as cfg
 from ..models.serialization import load_ply
 from ..render.camera_paths import (c2ws_to_camera_arrays,
                                    camera_path_fixed_elevation)
-from ..render.pipeline import RasterConfig, render_jit
+from ..render.pipeline import RasterConfig, render_fwd_jit
 from ..scene import Scene
 from ..seg.eval import eval_obj_labels, labels_from_seg_maps
 from ..seg.pipeline import load_pt, save_pt
@@ -44,7 +44,7 @@ def _orbit_frames(state, sh_degree, c2ws, fovx, fovy, width, height, bg,
     labels = jnp.asarray(obj_labels) if obj_labels is not None else None
     for i in range(len(c2ws)):
         args = tuple(jnp.asarray(a[i]) for a in cam_arrays)
-        out = render_jit(state, *args, width, height, sh_degree=sh_degree,
+        out = render_fwd_jit(state, *args, width, height, sh_degree=sh_degree,
                          bg=bg, config=config)
         img = np.clip(np.asarray(out.color), 0, 1)
         if labels is not None:

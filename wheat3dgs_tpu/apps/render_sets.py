@@ -15,7 +15,7 @@ import numpy as np
 
 from .. import config as cfg
 from ..render.pipeline import (RasterConfig, adapt_config,
-                               inference_config, render_jit)
+                               inference_config, render_fwd_jit)
 from ..scene import Scene
 
 
@@ -46,7 +46,7 @@ def render_set(scene: Scene, split: str, iteration: int, sh_degree: int,
         inference_config(config),
         cams=[scene.cam_arrays(split, i) for i in range(n)])
     for i in range(n):
-        out = render_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
+        out = render_fwd_jit(scene.gaussians, *scene.cam_arrays(split, i), w, h,
                      sh_degree=sh_degree, bg=bg, config=config)
         save_png(os.path.join(renders_dir, f"{i:05d}.png"), out.color)
         save_png(os.path.join(gt_dir, f"{i:05d}.png"), group.images[i])

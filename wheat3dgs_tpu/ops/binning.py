@@ -49,19 +49,67 @@ def tile_rect(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
     return rmin_x, rmin_y, rmax_x, rmax_y
 
 
+def ellipse_aabb(splats: Splats2D):
+    """Per-axis half-extents of the EXACT alpha>=1/255 level-set ellipse.
+
+    The CUDA reference bins by a 3-sigma bounding SQUARE
+    (my_radius = ceil(3 sqrt(max eigenvalue)), getRect) — for anisotropic
+    splats that square is up to (9/q)(sigma_max/sigma_min)x larger than the
+    pixels the compositor can ever shade above its 1/255 alpha floor. The
+    exact AABB of the floor's level set q(d) <= q_max = 2 ln(255 o) has
+    half-extents w_x = sqrt(q_max Sigma_xx), w_y = sqrt(q_max Sigma_yy)
+    (Sigma = conic^-1, so Sigma_xx = c/det). Capped at the reference radius
+    so the rect is never LARGER than the CUDA one (the reference's 3-sigma
+    box crops alpha up to o*e^{-4.5}; keeping that cap keeps outputs
+    bit-identical to the radius-box path) — allocation demand only shrinks.
+    """
+    a, b, c = splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2]
+    det = a * c - b * b
+    q_max = jnp.maximum(2.0 * jnp.log(
+        jnp.maximum(splats.opacity, 1e-12) * 255.0), 0.0) + 1e-3
+    r = splats.radius.astype(jnp.float32)
+    good = det > 1e-12
+    wx = jnp.sqrt(jnp.maximum(q_max * c / jnp.where(good, det, 1.0), 0.0))
+    wy = jnp.sqrt(jnp.maximum(q_max * a / jnp.where(good, det, 1.0), 0.0))
+    wx = jnp.where(good, jnp.minimum(wx + 1e-3, r), r)
+    wy = jnp.where(good, jnp.minimum(wy + 1e-3, r), r)
+    return wx, wy
+
+
 def capped_rect(splats: Splats2D, tiles_x: int, tiles_y: int, tile: int,
                 max_tiles_per_gauss: int):
     """Covered-rect per splat, center-cropped to <= max_tiles_per_gauss tiles.
 
-    A splat whose rect exceeds the static expansion cap keeps a centered
-    window instead of the row-major prefix (a prefix would crop splats to a
-    top band — a visible artifact on the rare huge splats early in training).
+    The rect is the exact alpha-floor ellipse AABB (see ellipse_aabb), not
+    the reference's 3-sigma square — same shaded pixels, far fewer allocated
+    slots on anisotropic splats. A splat whose rect exceeds the static
+    expansion cap keeps a centered window instead of the row-major prefix
+    (a prefix would crop splats to a top band — a visible artifact on the
+    rare huge splats early in training).
     Returns (rmin_x, rmin_y, span_x, span_y, count).
     """
     m = max_tiles_per_gauss
-    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
-        splats.xy, splats.radius.astype(splats.xy.dtype), tiles_x, tiles_y,
-        tile)
+    wx, wy = ellipse_aabb(splats)
+    # Intersect the exact (floor/ceil) AABB tile rect with the reference
+    # getRect radius rect. The reference formula trunc((x+r+tile-1)/tile)
+    # is only a true ceil for the radius values it is used with — applying
+    # it to the smaller wx/wy can EXCLUDE a boundary tile the radius rect
+    # includes (and whose pixels shade above 1/255). The intersection is
+    # never larger than the reference rect (bit-exact outputs) and never
+    # drops a pixel the reference rect shades.
+    r = splats.radius.astype(splats.xy.dtype)
+    ref_x0, ref_y0, ref_x1, ref_y1 = tile_rect(
+        splats.xy, r, tiles_x, tiles_y, tile)
+    rmin_x = jnp.maximum(ref_x0, jnp.clip(jnp.floor(
+        (splats.xy[:, 0] - wx) / tile).astype(jnp.int32), 0, tiles_x))
+    rmin_y = jnp.maximum(ref_y0, jnp.clip(jnp.floor(
+        (splats.xy[:, 1] - wy) / tile).astype(jnp.int32), 0, tiles_y))
+    rmax_x = jnp.minimum(ref_x1, jnp.clip(jnp.floor(
+        (splats.xy[:, 0] + wx) / tile).astype(jnp.int32) + 1, 0, tiles_x))
+    rmax_y = jnp.minimum(ref_y1, jnp.clip(jnp.floor(
+        (splats.xy[:, 1] + wy) / tile).astype(jnp.int32) + 1, 0, tiles_y))
+    rmax_x = jnp.maximum(rmax_x, rmin_x)
+    rmax_y = jnp.maximum(rmax_y, rmin_y)
     span_x = rmax_x - rmin_x
     span_y = rmax_y - rmin_y
     area = jnp.maximum(span_x * span_y, 1)

@@ -32,6 +32,13 @@ class LiftOut(NamedTuple):
     used_count: jnp.ndarray   # (num_obj+1, N)
     alpha: jnp.ndarray        # (H, W)
     contrib_num: jnp.ndarray  # (H, W) int32: contributing splats per pixel
+    # Per-Gaussian projected pixel center / view depth — the reference
+    # flashsplat_render's proj_xy/gs_depth outputs
+    # (gaussian_renderer/__init__.py:203-204,215-216). Invisible Gaussians
+    # (radius 0) keep their projected values; consumers filter by radii as
+    # the reference does.
+    proj_xy: jnp.ndarray      # (N, 2) float32 pixel coords
+    gs_depth: jnp.ndarray     # (N,) float32 view-space depth
 
 
 def lift_mask(
@@ -118,7 +125,8 @@ def lift_mask(
 
     return LiftOut(used_count=used_count,
                    alpha=assemble(alphas.reshape(-1, tile * tile)),
-                   contrib_num=assemble(cnums.reshape(-1, tile * tile)))
+                   contrib_num=assemble(cnums.reshape(-1, tile * tile)),
+                   proj_xy=splats.xy, gs_depth=splats.depth)
 
 
 def multi_instance_opt(all_counts: jnp.ndarray, gamma: float = 0.0) -> jnp.ndarray:

@@ -108,7 +108,8 @@ def _moment_kernels_enabled() -> bool:
 
 def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
                    height: int, tile: int, budget: int,
-                   max_span: int = 1024, interpret: bool = False):
+                   max_span: int = 1024, interpret: bool = False,
+                   extra_cols: Optional[tuple] = None):
     """Exact-entry allocation + precise-cull sort keys (non-differentiable).
 
     Access-pattern discipline (all measured on-chip): TPU sorts and
@@ -151,6 +152,13 @@ def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
     """
     n = splats.xy.shape[0]
     c = packed.shape[1] - 8
+    # Payload columns carried through the entry sort beyond the 6 geometry
+    # columns (x, y, conic a/b/c, opacity): packed-column indices. Default =
+    # depth + all colors (the training layout). Forward-only callers pass a
+    # subset (e.g. () for alpha-only) — the sort cost scales with it.
+    if extra_cols is None:
+        extra_cols = (6,) + tuple(range(8, 8 + c))
+    nv = len(extra_cols)
     tiles_x, tiles_y = num_tiles(width, height, tile)
     t_total = tiles_x * tiles_y
     e = budget
@@ -170,13 +178,15 @@ def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
     # expansion is a single row gather. Integer fields as f32 (exact below
     # 2^24). Feature cols skip packed's pad col 7.
     premeta = jnp.concatenate([
-        packed[:, :7], packed[:, 8:8 + c],            # 7+c feature cols
+        packed[:, :6],                                # geometry cols
+        packed[:, list(extra_cols)] if nv else
+        jnp.zeros((n, 0), jnp.float32),               # value payload cols
         jnp.maximum(sx, 1).astype(jnp.float32)[:, None],
         rx.astype(jnp.float32)[:, None],
         ry.astype(jnp.float32)[:, None],
         q_max[:, None],
-    ], axis=1)                                        # (N, 11+c)
-    i_sx, i_rx, i_ry, i_q = (7 + c, 8 + c, 9 + c, 10 + c)
+    ], axis=1)                                        # (N, 10+nv)
+    i_sx, i_rx, i_ry, i_q = (6 + nv, 7 + nv, 8 + nv, 9 + nv)
 
     # Depth-rank space: permute splats front-to-back (one N-scale row
     # gather), then allocate in rank order so owner == depth rank.
@@ -203,11 +213,11 @@ def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
     # gather+transpose into every consumer and re-reads the padded layout
     # once per column.
     mt = jax.lax.optimization_barrier(
-        premeta_r[owner].T)                           # (11+c, E) lane-major
+        premeta_r[owner].T)                           # (10+nv, E) lane-major
 
     payload = tuple(
         jax.lax.bitcast_convert_type(mt[f], jnp.uint32)
-        for f in range(7 + c))
+        for f in range(6 + nv))
     # Rank r's EXACT slot multiplicity: a marking rank owns every slot up
     # to the next marking rank's offset (cummax ownership), so the last
     # marking rank also owns the allocation tail — a plain count cumsum
@@ -985,6 +995,247 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
             retire(1)
 
     return kernel
+
+
+def _fwd_only_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
+                     nv: int, moment: bool):
+    """Inference-only compositor: same walk/math as _fwd_kernel but
+
+    - the entry table carries only 6 geometry rows + a ONES row + nv value
+      rows (depth/colors as requested) — the ones row telescopes the weight
+      sum into the SAME accumulator matmul, so each chunk costs ONE MXU
+      contraction instead of two;
+    - the output block is (r_batch, 1+nv, P): [weight-sum, values...] —
+      writing 2-6 rows instead of the training kernel's 17 (the backward
+      needs the full accumulator as a residual; inference does not).
+    No custom_vjp, no residuals, no backward-ordering constraints.
+    """
+    p = tile * tile
+
+    def kernel(starts_ref, ends_ref, lane_hbm, out_ref, lane_buf, sem_l,
+               slot_ref):
+        pid = pl.program_id(0)
+        feat_k = lane_buf.shape[1]
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        tri = jnp.triu(jnp.ones((CHUNK, CHUNK), jnp.float32))
+        poly = _poly_matrix(pix_i, tile) if moment else None
+
+        def dma(slot, off):
+            return pltpu.make_async_copy(
+                lane_hbm.at[:, pl.ds(pl.multiple_of(off, CHUNK), CHUNK)],
+                lane_buf.at[slot], sem_l.at[slot])
+
+        def one_tile(r, _):
+            t = pid * r_batch + r
+            s = starts_ref[t]
+            e = ends_ref[t]
+            a = (s // CHUNK) * CHUNK
+            nc = jnp.where(e > s, pl.cdiv(e - a, CHUNK), 0)
+
+            @pl.when(t == 0)
+            def _():
+                slot_ref[0] = 0
+
+                @pl.when(nc > 0)
+                def _():
+                    dma(0, a).start()
+
+            s0 = slot_ref[0]
+            tx = (t % tiles_x) * tile
+            ty = (t // tiles_x) * tile
+            if not moment:
+                px = (tx + pix_i % tile).astype(jnp.float32)
+                py = (ty + pix_i // tile).astype(jnp.float32)
+
+            def chunk_body(carry):
+                j, logt, acc = carry
+                slot = (s0 + j) % 2
+
+                @pl.when(j > 0)
+                def _():
+                    dma(slot, a + j * CHUNK).start()
+
+                dma(slot, a + j * CHUNK).wait()
+                ent = lane_buf[slot]                      # (feat_k, CHUNK)
+                g = a + j * CHUNK + lane
+                valid = (g >= s) & (g < e)
+
+                if moment:
+                    power = _power_matmul(poly, ent, tx, ty)
+                else:
+                    dx = px - ent[0:1, :]
+                    dy = py - ent[1:2, :]
+                    power = (-0.5 * (ent[2:3, :] * dx * dx
+                                     + ent[4:5, :] * dy * dy)
+                             - ent[3:4, :] * dx * dy)
+                alpha = jnp.minimum(ALPHA_MAX,
+                                    ent[5:6, :] * jnp.exp(power))
+                alpha = jnp.where(
+                    (power > 0.0) | (alpha < ALPHA_MIN) | ~valid, 0.0, alpha)
+                l1m = jnp.log1p(-alpha)
+                log_t_after = logt + jnp.dot(
+                    l1m, tri, preferred_element_type=jnp.float32)
+                include = log_t_after >= LOG_T_EPS
+                w = jnp.where(include,
+                              alpha * jnp.exp(log_t_after - l1m), 0.0)
+                acc = acc + jax.lax.dot_general(
+                    ent, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (feat_k, P)
+                return j + 1, log_t_after[:, CHUNK - 1:CHUNK], acc
+
+            def cond(carry):
+                j, logt, _ = carry
+                return (j < nc) & (jnp.max(logt) >= LOG_T_EPS)
+
+            init = (jnp.int32(0), jnp.zeros((p, 1), jnp.float32),
+                    jnp.zeros((feat_k, p), jnp.float32))
+            _, _, acc = jax.lax.while_loop(cond, chunk_body, init)
+
+            @pl.when(t + 1 < t_total)
+            def _():
+                s_n = starts_ref[t + 1]
+
+                @pl.when(ends_ref[t + 1] > s_n)
+                def _():
+                    dma(1 - s0, (s_n // CHUNK) * CHUNK).start()
+                    slot_ref[0] = 1 - s0
+
+            # Rows 6..6+nv of the accumulator: [ones-row weight sum,
+            # values...] — all the caller needs.
+            out_ref[r, :, :] = acc[6:7 + nv, :]
+            return 0
+
+        def guarded(r, _):
+            @pl.when(pid * r_batch + r < t_total)
+            def _():
+                one_tile(r, None)
+            return 0
+
+        jax.lax.fori_loop(0, r_batch, guarded, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _fwd_only_fns(tiles_x: int, t_total: int, tile: int, nv: int,
+                  two_key: bool, interpret: bool, moment: bool):
+    """(keys, payload) -> raw (T, 1+nv, P) per-tile [weight-sum, values]."""
+    p = tile * tile
+    feat_k = 8 if 7 + nv <= 8 else 16
+    r_batch = next((r for r in (8, 5, 6, 4, 3, 2) if t_total % r == 0), 8)
+    n_steps = -(-t_total // r_batch)
+    t_pad = n_steps * r_batch
+    nk = 2 if two_key else 1
+
+    def run(*keys_payload):
+        keys, payload = keys_payload[:nk], keys_payload[nk:]
+        sorted_ = jax.lax.sort(keys + payload, num_keys=nk, is_stable=False)
+        stile = (sorted_[0] >> _rank_bits(t_total)).astype(jnp.int32) \
+            if nk == 1 else sorted_[0]
+        spay = tuple(jax.lax.bitcast_convert_type(x, jnp.float32)
+                     for x in sorted_[nk:])
+        tids = jnp.arange(t_total, dtype=stile.dtype)
+        starts = jnp.searchsorted(stile, tids, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(stile, tids, side="right").astype(jnp.int32)
+        ones = jnp.ones_like(spay[0])
+        rows = (list(spay[:6]) + [ones] + list(spay[6:6 + nv])
+                + [jnp.zeros_like(ones)] * (feat_k - 7 - nv))
+        entries_lane = jnp.stack(rows)                 # (feat_k, E)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((r_batch, 1 + nv, p),
+                                   lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, feat_k, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        )
+        out = pl.pallas_call(
+            _fwd_only_kernel(tiles_x, tile, t_total, r_batch, nv, moment),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t_pad, 1 + nv, p), jnp.float32),
+            interpret=interpret,
+        )(starts, ends, entries_lane)
+        return out[:t_total]
+
+    return run
+
+
+def rasterize_pallas_fwd(
+    splats: Splats2D,
+    width: int,
+    height: int,
+    bg: Optional[jnp.ndarray] = None,
+    tile: int = TILE,
+    entry_budget: int = 0,
+    max_span: int = 1024,
+    interpret: bool = False,
+    with_color: bool = True,
+    with_depth: bool = True,
+) -> RasterOut:
+    """NON-differentiable forward-only Pallas rasterization.
+
+    Identical compositing math/output to rasterize_pallas's forward, minus
+    everything the backward needs: no custom_vjp residuals, no seg_end/rank
+    bookkeeping, a payload sort that carries only the requested value
+    columns (6 geometry operands + depth/colors actually composited — an
+    alpha-only render sorts 6 operands instead of 10), and a (1+nv)-row
+    output block instead of 17. Serves the seg/eval/360/viewer paths whose
+    reference counterparts run thousands of no-grad renders
+    (run_3d_seg.py:116-172, eval_wheatgs.py:29-55) and the inference FPS
+    path. with_color=False => RasterOut.color is None; with_depth=False =>
+    depth is None.
+    """
+    c = splats.color.shape[1] if with_color else 0
+    assert 7 + c + int(with_depth) <= FEAT, "too many color channels"
+    n = splats.xy.shape[0]
+    tiles_x, tiles_y = num_tiles(width, height, tile)
+    t_total = tiles_x * tiles_y
+
+    if entry_budget <= 0:
+        entry_budget = max(1024, -(-16 * n // CHUNK) * CHUNK)
+    assert entry_budget % CHUNK == 0, "entry_budget must be 128-aligned"
+
+    extra_cols = ((6,) if with_depth else ()) + \
+        (tuple(range(8, 8 + c)) if with_color else ())
+    nv = len(extra_cols)
+    packed = jax.lax.stop_gradient(pack_splats(splats))
+    keys, payload, _, _, total, alive = _alloc_entries(
+        packed, jax.lax.stop_gradient(splats), width, height, tile,
+        int(entry_budget), max_span, interpret=interpret,
+        extra_cols=extra_cols)
+    run = _fwd_only_fns(tiles_x, t_total, tile, nv, len(keys) == 2,
+                        interpret, _moment_kernels_enabled())
+    raw = run(*keys, *payload)                        # (T, 1+nv, P)
+
+    def assemble(flat, channels):
+        img = flat.reshape(tiles_y, tiles_x, channels, tile, tile)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            channels, tiles_y * tile, tiles_x * tile)
+        return img[:, :height, :width]
+
+    img = assemble(raw, 1 + nv)
+    alpha = img[0]                                    # weight sum = 1 - T
+    vi = 1
+    depth = None
+    if with_depth:
+        depth = img[vi]
+        vi += 1
+    color = None
+    if with_color:
+        color = img[vi:vi + c]
+        if bg is not None:
+            color = color + (1.0 - alpha)[None] * \
+                jnp.asarray(bg)[:, None, None]
+    return RasterOut(color=color, depth=depth, alpha=alpha,
+                     radii=splats.radius, entries_total=total,
+                     entries_alive=alive)
 
 
 @functools.lru_cache(maxsize=64)

@@ -116,11 +116,76 @@ def render(
                      entries_alive=out.entries_alive)
 
 
+def render_fwd(
+    state: GaussianState,
+    w2c: jax.Array,
+    full_proj: jax.Array,
+    cam_center: jax.Array,
+    tanfovx,
+    tanfovy,
+    width: int,
+    height: int,
+    sh_degree: int,
+    bg: Optional[jax.Array] = None,
+    scale_modifier: float = 1.0,
+    override_color: Optional[jax.Array] = None,
+    used_mask: Optional[jax.Array] = None,
+    config: RasterConfig = RasterConfig(),
+    with_color: bool = True,
+    with_depth: bool = True,
+) -> RenderOut:
+    """NON-differentiable render (inference/seg/eval/360 paths).
+
+    On the Pallas backend this uses the forward-only kernel — no custom_vjp
+    residuals, payload sort trimmed to the requested channels (alpha-only
+    sorts 6 operands instead of 10), (1+nv)-row output — serving the paths
+    whose reference counterparts run thousands of no-grad renders
+    (run_3d_seg.py:116-172, eval_wheatgs.py:29-55, render_360.py). The XLA
+    backend falls back to the standard rasterizer (same outputs).
+    with_color/with_depth=False return None for that field (Pallas only).
+    """
+    opacity = state.opacity()
+    if used_mask is not None:
+        opacity = jnp.where(used_mask, opacity, 0.0)
+    need_sh = with_color and override_color is None
+    splats = project_gaussians(
+        state.params.means, state.scales(), state.params.quats, opacity,
+        w2c, full_proj, cam_center, tanfovx, tanfovy, width, height,
+        sh=state.sh() if need_sh else None,
+        sh_degree=sh_degree if need_sh else 0,
+        colors=(override_color if override_color is not None else
+                (None if need_sh else jnp.zeros((state.capacity, 1),
+                                                jnp.float32))),
+        scale_modifier=scale_modifier)
+    if config.backend == "pallas":
+        from ..ops.pallas_raster import rasterize_pallas_fwd
+
+        out = rasterize_pallas_fwd(
+            splats, width, height, bg, tile=32,
+            entry_budget=config.entry_budget,
+            interpret=jax.default_backend() == "cpu",
+            with_color=with_color, with_depth=with_depth)
+    else:
+        out = raster_ops.rasterize(
+            splats, width, height, bg, tile=config.tile,
+            max_tiles_per_gauss=config.max_tiles_per_gauss,
+            max_per_tile=config.max_per_tile, tile_batch=config.tile_batch,
+            remat=False)
+    return RenderOut(color=out.color, depth=out.depth, alpha=out.alpha,
+                     radii=out.radii, entries_total=out.entries_total,
+                     entries_alive=out.entries_alive)
+
+
 # Jitted entry for inference paths (training jits the whole train step).
 render_jit = jax.jit(
     render,
     static_argnames=("width", "height", "sh_degree", "scale_modifier",
                      "config"))
+
+render_fwd_jit = jax.jit(
+    render_fwd,
+    static_argnames=("width", "height", "sh_degree", "scale_modifier",
+                     "config", "with_color", "with_depth"))
 
 
 def adapt_config(state: GaussianState, cam, width: int, height: int,

@@ -19,9 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.gaussians import GaussianState
-from ..ops import raster as raster_ops
 from ..render.pipeline import RasterConfig
-from .flashsplat import _project
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "config",
@@ -35,17 +33,20 @@ def eval_obj_labels(state: GaussianState, obj_labels: jnp.ndarray, w2c,
     l1 = obj_labels.shape[0]
 
     def render_head(used_mask):
-        splats = _project(state, w2c, full_proj, cam_center, tanfovx,
-                          tanfovy, width, height, used_mask=used_mask)
-        out = raster_ops.rasterize(
-            splats, width, height, tile=config.tile,
-            max_tiles_per_gauss=config.max_tiles_per_gauss,
-            max_per_tile=config.max_per_tile, tile_batch=config.tile_batch,
-            remat=False)
+        # Pallas backend: forward-only kernel, alpha+depth payload only —
+        # this per-head render loop is the dominant cost of seg eval/360
+        # (reference renders one full frame PER HEAD, eval_wheatgs.py:29-55).
+        from ..render.pipeline import render_fwd
+
+        out = render_fwd(state, w2c, full_proj, cam_center, tanfovx,
+                         tanfovy, width, height, 0, used_mask=used_mask,
+                         config=config, with_color=False, with_depth=True)
         return out.alpha, out.depth
 
-    alphas, depths = jax.lax.map(render_head, obj_labels,
-                                 batch_size=head_batch)  # (L+1, H, W)
+    alphas, depths = jax.lax.map(
+        render_head, obj_labels,
+        # vmap batching of the Pallas custom path costs ~2x: sequential.
+        batch_size=1 if config.backend == "pallas" else head_batch)
 
     def combine(carry, inp):
         pred_mask, min_depth = carry

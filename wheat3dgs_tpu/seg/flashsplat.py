@@ -57,20 +57,26 @@ def alpha_views(state: GaussianState, w2c, full_proj, cam_center, tanfovx,
                 config: RasterConfig = RasterConfig()):
     """(B, H, W) alpha of the `used_mask` subset across a camera batch
     (reference flashsplat_render(used_mask=...) alpha, run_3d_seg.py:130-134).
-    """
-    from ..ops import raster as raster_ops
 
-    def one(w2c_i, fp_i, cc_i, tfx_i, tfy_i):
-        splats = _project(state, w2c_i, fp_i, cc_i, tfx_i, tfy_i, width,
-                          height, used_mask=used_mask)
-        out = raster_ops.rasterize(
-            splats, width, height, tile=config.tile,
-            max_tiles_per_gauss=config.max_tiles_per_gauss,
-            max_per_tile=config.max_per_tile, tile_batch=config.tile_batch,
-            remat=False)
+    Pallas backend: forward-only kernel, ALPHA-ONLY payload (6 sort
+    operands, no color/depth rows) — this loop dominates find-&-match
+    wall time (the reference renders every buffered mask against every
+    view). Cameras run sequentially via lax.map: each render is a full
+    frame, and vmap batching of the Pallas custom path costs ~2x.
+    """
+    from ..render.pipeline import render_fwd
+
+    def one(cam_i):
+        w2c_i, fp_i, cc_i, tfx_i, tfy_i = cam_i
+        out = render_fwd(state, w2c_i, fp_i, cc_i, tfx_i, tfy_i, width,
+                         height, 0, used_mask=used_mask, config=config,
+                         with_color=False, with_depth=False)
         return out.alpha
 
-    return jax.vmap(one)(w2c, full_proj, cam_center, tanfovx, tanfovy)
+    cams = (w2c, full_proj, cam_center, tanfovx, tanfovy)
+    if config.backend == "pallas":
+        return jax.lax.map(one, cams)
+    return jax.vmap(one)(cams)
 
 
 def apply_pts_filter(all_counts: jnp.ndarray, pts_filter) -> jnp.ndarray:

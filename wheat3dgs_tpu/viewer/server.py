@@ -24,7 +24,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from ..render.pipeline import RasterConfig, render_jit
+from ..render.pipeline import RasterConfig, render_fwd_jit
 from ..utils import graphics, image_ops
 
 _PAGE = """<!DOCTYPE html><html><head><title>wheat3dgs_tpu viewer</title>
@@ -136,7 +136,7 @@ class ViewerState:
 
         w2c, fp, eye = self.camera_from_orbit(az, el, dist, center)
         with self.lock:
-            out = render_jit(
+            out = render_fwd_jit(
                 self.state, jnp.asarray(w2c), jnp.asarray(fp),
                 jnp.asarray(eye), jnp.float32(math.tan(self.fovx / 2)),
                 jnp.float32(math.tan(self.fovy / 2)), self.width,
@@ -154,7 +154,7 @@ class ViewerState:
                 self.config = dataclasses.replace(
                     self.config, entry_budget=pick_entry_budget(
                         int(out.entries_total)))
-                out = render_jit(
+                out = render_fwd_jit(
                     self.state, jnp.asarray(w2c), jnp.asarray(fp),
                     jnp.asarray(eye), jnp.float32(math.tan(self.fovx / 2)),
                     jnp.float32(math.tan(self.fovy / 2)), self.width,
