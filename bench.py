@@ -66,7 +66,7 @@ def main():
 
     from wheat3dgs_tpu.config import ModelParams, OptimizationParams
     from wheat3dgs_tpu.io.synthetic import make_synthetic_colmap_scene
-    from wheat3dgs_tpu.render.pipeline import RasterConfig, render_jit
+    from wheat3dgs_tpu.render.pipeline import RasterConfig
     from wheat3dgs_tpu.scene import Scene
     from wheat3dgs_tpu.training import Trainer
 
@@ -186,21 +186,28 @@ def main():
           f"n_alive={int(m['n_alive'])}, psnr={float(m['psnr']):.2f}",
           file=sys.stderr)
 
-    # Secondary: render FPS at full res (stderr only).
-    from wheat3dgs_tpu.render.pipeline import adapt_config, inference_config
+    # Secondary: render FPS at full res (stderr only). Measures the
+    # forward-only inference path (render_fwd_jit) — the kernel render_sets/
+    # render_360/eval/viewer actually run: no custom_vjp residuals, payload
+    # sort trimmed to color+depth channels.
+    from wheat3dgs_tpu.render.pipeline import (adapt_config, inference_config,
+                                               render_fwd_jit)
 
     rcams = cams[0]
     config = adapt_config(trainer.state, rcams, w, h,
                           inference_config(config))
-    out = render_jit(trainer.state, *rcams, w, h, sh_degree=3, config=config)
+    out = render_fwd_jit(trainer.state, *rcams, w, h, sh_degree=3,
+                         config=config)
     jax.block_until_ready(out.color)
     t0 = time.time()
     reps = 30
     for _ in range(reps):
-        out = render_jit(trainer.state, *rcams, w, h, sh_degree=3, config=config)
+        out = render_fwd_jit(trainer.state, *rcams, w, h, sh_degree=3,
+                             config=config)
     jax.block_until_ready(out.color)
     fps = reps / (time.time() - t0)
-    print(f"render: {fps:.1f} FPS @{w}x{h}", file=sys.stderr)
+    print(f"render: {fps:.1f} FPS @{w}x{h} (forward-only inference path)",
+          file=sys.stderr)
 
     print(json.dumps({"metric": "train_iters_per_sec", "value": round(ips, 2),
                       "unit": "it/s", "vs_baseline": round(ips / 60.0, 3),
