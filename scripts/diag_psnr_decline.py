@@ -44,13 +44,23 @@ from wheat3dgs_tpu.scene import Scene
 
 ap = argparse.ArgumentParser()
 ap.add_argument("-m", "--model_path", default="/tmp/wheat3dgs_bench2_model")
+ap.add_argument("-s", "--source_path", default=None,
+                help="defaults to the source_path recorded in cfg_args")
 ap.add_argument("--iterations", type=int, nargs="+",
                 default=[7000, 15000, 30000])
 args = ap.parse_args()
 
+if args.source_path is None:
+    # cfg_args stores the training-time namespace (reference
+    # arguments/__init__.py:92-112 round-trip).
+    import re
+    cfg = open(os.path.join(args.model_path, "cfg_args")).read()
+    args.source_path = re.search(r"source_path='([^']*)'", cfg).group(1)
+
 rows = []
 for it in args.iterations:
-    model = ModelParams(source_path="", model_path=args.model_path,
+    model = ModelParams(source_path=args.source_path,
+                        model_path=args.model_path,
                         eval=True, resolution=1)
     scene = Scene(model, load_iteration=it, shuffle=False)
     w, h = scene.image_size

@@ -47,6 +47,12 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--skip_train", action="store_true")
 ap.add_argument("--skip_seg", action="store_true")
 ap.add_argument("--iters", type=int, default=7000)
+ap.add_argument("--seg_wall", type=float, default=None,
+                help="with --skip_seg: record this find-&-match wall time "
+                     "(s) for a run scored from existing artifacts")
+ap.add_argument("--note", default=None,
+                help="free-text provenance note stored in the report "
+                     "(e.g. partial-run coverage)")
 args = ap.parse_args()
 
 
@@ -83,7 +89,7 @@ if not args.skip_seg:
     seg_wall = time.time() - t0
     print(f"seg wall: {seg_wall:.0f}s", file=sys.stderr)
 else:
-    seg_wall = float("nan")
+    seg_wall = args.seg_wall if args.seg_wall is not None else float("nan")
 
 # ---- Score discovered heads against generator ground truth --------------
 # Label transfer: every GT point takes the `which_object` label of its
@@ -159,6 +165,7 @@ report = {
     "mean_splat_purity": float(np.mean([r[5] for r in rows])) if rows
     else 0.0,
     "seg_wall_s": seg_wall,
+    "note": args.note,
     "per_head": [
         {"pred_id": r[0], "gt_id": r[1], "iou": round(r[2], 4),
          "precision": round(r[3], 4), "recall": round(r[4], 4),
