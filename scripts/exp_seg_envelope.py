@@ -131,8 +131,14 @@ gt_translab = pred_lab[nearest_idx(gt_xyz, pred_xyz)]   # pred label per GT pt
 splat_gtlab = gt_id[nearest_idx(pred_xyz, gt_xyz)]      # gt label per splat
 
 rows, claimed, duplicates = [], {}, 0
+seen_ids = set()
 for f in plys:
-    hid = int(f[3:-4])
+    # `wh_<id>.ply` or `wh_<id>_<letter>.ply` (a reset_label merge re-save
+    # of the same head id, reference find_new_mask_dir run_3d_seg.py:33-46)
+    hid = int(f[3:-4].split("_")[0])
+    if hid in seen_ids:
+        continue
+    seen_ids.add(hid)
     pred_set = gt_translab == hid                        # GT points claimed
     n_splats = int((pred_lab == hid).sum())
     vals, cnts = np.unique(gt_id[pred_set][gt_id[pred_set] > 0],

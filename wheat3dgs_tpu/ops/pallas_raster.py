@@ -92,6 +92,40 @@ _PROF_SKIP = tuple(
     s for s in _os.environ.get("W3_PROF_SKIP", "").split(",") if s)
 
 
+def _tri_mode() -> str:
+    """W3_TRI_MODE selects how the per-pixel cumulative log-transmittance
+    (prefix sums along the 128-entry chunk axis) is computed in the
+    compositing kernels:
+      "f32"  — (P, CHUNK) @ upper-triangular-ones CHUNK^2 matmul in f32
+               (exact, but f32 MXU matmuls are multi-pass);
+      "bf16" — same matmul with bf16 inputs / f32 accumulate (1 MXU pass,
+               ~0.4% rel error on each log1p(-alpha) term — the backward
+               replay uses the same mode so fwd/bwd stay self-consistent);
+      "scan" — log2(CHUNK) lane roll-and-add doubling scan on the VPU
+               (f32-exact up to summation order, no MXU use).
+    Part of the kernel build key (read when a kernel is built)."""
+    return _os.environ.get("W3_TRI_MODE", "f32")
+
+
+def _lane_prefix(x: jnp.ndarray, tri: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Per-row inclusive prefix sums along the lane (chunk) axis.
+
+    x: (P, CHUNK) f32. Returns (P, CHUNK) f32 with out[:, j] =
+    sum_{k<=j} x[:, k], computed per `mode` (see _tri_mode)."""
+    if mode == "bf16":
+        return jnp.dot(x.astype(jnp.bfloat16), tri.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    if mode == "scan":
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        s = x
+        sh = 1
+        while sh < x.shape[1]:
+            s = s + jnp.where(lane >= sh, pltpu.roll(s, sh, 1), 0.0)
+            sh *= 2
+        return s
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
 def _moment_kernels_enabled() -> bool:
     """WHEAT3DGS_MOMENT_KERNELS=1 rebuilds the compositing kernels with the
     MXU moment-form matmuls instead of the direct VPU pixel-polynomial +
@@ -606,7 +640,7 @@ def _power_matmul(poly: jnp.ndarray, ent: jnp.ndarray, tx, ty):
 
 
 def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
-                moment: bool = True):
+                moment: bool = True, tri_mode: str = "f32"):
     """r_batch tiles per grid step (inner fori): grid-step overhead is a
     few microseconds on TPU and dominates sparse tiles, so flattening 8
     tiles into one step amortizes it 8x. All DMA logic is sequential across
@@ -682,8 +716,7 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
                     (power > 0.0) | (alpha < ALPHA_MIN) | ~valid, 0.0, alpha)
 
                 l1m = jnp.log1p(-alpha)                       # (P, CHUNK)
-                log_t_after = logt + jnp.dot(
-                    l1m, tri, preferred_element_type=jnp.float32)
+                log_t_after = logt + _lane_prefix(l1m, tri, tri_mode)
                 include = log_t_after >= LOG_T_EPS
                 w = jnp.where(include,
                               alpha * jnp.exp(log_t_after - l1m), 0.0)
@@ -743,7 +776,7 @@ def _fwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
 
 
 def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
-                moment: bool = True):
+                moment: bool = True, tri_mode: str = "f32"):
     """Gradient replay: one front-to-back pass per tile.
 
     The cotangent g arrives in the RAW output layout (acc FEAT cols +
@@ -856,8 +889,7 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
                 live = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
                 alpha = jnp.where(live, alpha, 0.0)
                 l1m = jnp.log1p(-alpha)
-                log_t_after = logt + jnp.dot(
-                    l1m, tri, preferred_element_type=jnp.float32)
+                log_t_after = logt + _lane_prefix(l1m, tri, tri_mode)
                 include = log_t_after >= LOG_T_EPS
                 t_before = jnp.exp(log_t_after - l1m)
                 w = jnp.where(include, alpha * t_before, 0.0)
@@ -998,7 +1030,7 @@ def _bwd_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
 
 
 def _fwd_only_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
-                     nv: int, moment: bool):
+                     nv: int, moment: bool, tri_mode: str = "f32"):
     """Inference-only compositor: same walk/math as _fwd_kernel but
 
     - the entry table carries only 6 geometry rows + a ONES row + nv value
@@ -1074,8 +1106,7 @@ def _fwd_only_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
                 alpha = jnp.where(
                     (power > 0.0) | (alpha < ALPHA_MIN) | ~valid, 0.0, alpha)
                 l1m = jnp.log1p(-alpha)
-                log_t_after = logt + jnp.dot(
-                    l1m, tri, preferred_element_type=jnp.float32)
+                log_t_after = logt + _lane_prefix(l1m, tri, tri_mode)
                 include = log_t_after >= LOG_T_EPS
                 w = jnp.where(include,
                               alpha * jnp.exp(log_t_after - l1m), 0.0)
@@ -1119,7 +1150,8 @@ def _fwd_only_kernel(tiles_x: int, tile: int, t_total: int, r_batch: int,
 
 @functools.lru_cache(maxsize=64)
 def _fwd_only_fns(tiles_x: int, t_total: int, tile: int, nv: int,
-                  two_key: bool, interpret: bool, moment: bool):
+                  two_key: bool, interpret: bool, moment: bool,
+                  tri_mode: str = "f32"):
     """(keys, payload) -> raw (T, 1+nv, P) per-tile [weight-sum, values]."""
     p = tile * tile
     feat_k = 8 if 7 + nv <= 8 else 16
@@ -1157,7 +1189,8 @@ def _fwd_only_fns(tiles_x: int, t_total: int, tile: int, nv: int,
             ],
         )
         out = pl.pallas_call(
-            _fwd_only_kernel(tiles_x, tile, t_total, r_batch, nv, moment),
+            _fwd_only_kernel(tiles_x, tile, t_total, r_batch, nv, moment,
+                             tri_mode),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((t_pad, 1 + nv, p), jnp.float32),
             interpret=interpret,
@@ -1211,7 +1244,7 @@ def rasterize_pallas_fwd(
         int(entry_budget), max_span, interpret=interpret,
         extra_cols=extra_cols)
     run = _fwd_only_fns(tiles_x, t_total, tile, nv, len(keys) == 2,
-                        interpret, _moment_kernels_enabled())
+                        interpret, _moment_kernels_enabled(), _tri_mode())
     raw = run(*keys, *payload)                        # (T, 1+nv, P)
 
     def assemble(flat, channels):
@@ -1241,7 +1274,8 @@ def rasterize_pallas_fwd(
 @functools.lru_cache(maxsize=64)
 def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
                    two_key: bool, n_rows: int, budget: int,
-                   interpret: bool, moment: bool = True):
+                   interpret: bool, moment: bool = True,
+                   tri_mode: str = "f32"):
     """custom_vjp'd (packed, owner, *keys) -> raw per-tile accumulators
     (T, FEAT+1, P): full feature sums + final transmittance row. The entry
     sort runs inside, so the backward can map entry gradients to packed
@@ -1272,7 +1306,7 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
             ],
         )
         out = pl.pallas_call(
-            _fwd_kernel(tiles_x, tile, t_total, r_batch, moment),
+            _fwd_kernel(tiles_x, tile, t_total, r_batch, moment, tri_mode),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((t_pad, FEAT + 1, p),
                                            jnp.float32),
@@ -1347,7 +1381,8 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
             dent_lane = dzero + aux.sum() * 0  # keep inputs live
         else:
             dent_lane = pl.pallas_call(
-                _bwd_kernel(tiles_x, tile, t_total, r_batch, moment),
+                _bwd_kernel(tiles_x, tile, t_total, r_batch, moment,
+                            tri_mode),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((FEAT, e_pad), jnp.float32),
                 input_output_aliases={5: 0},
@@ -1462,7 +1497,7 @@ def rasterize_pallas(
         interpret=interpret)
     comp = _composite_fns(tiles_x, t_total, tile, c,
                           len(keys) == 2, n, int(entry_budget), interpret,
-                          _moment_kernels_enabled())
+                          _moment_kernels_enabled(), _tri_mode())
     out = comp(packed, order, seg_end, *keys, *payload)
 
     def assemble(flat, channels):

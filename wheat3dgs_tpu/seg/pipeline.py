@@ -102,23 +102,32 @@ class SegContext:
     height: int
     config: RasterConfig
     images: Optional[np.ndarray] = None   # (B, 3, H, W) for overlay jpgs
+    # Decoded-mask cache (packed bits; a 1600x1200 bool costs 240 KB packed,
+    # so every SAM mask of a plot fits in a few hundred MB). find_match
+    # re-tests the same candidate masks every refinement round and across
+    # heads; PNG decode (~15 ms) dominated its host time.
+    mask_cache: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+
+    def get_mask(self, path: str) -> np.ndarray:
+        packed = self.mask_cache.get(path)
+        if packed is None:
+            m = image_ops.read_mask(path, (self.width, self.height))
+            self.mask_cache[path] = np.packbits(m, axis=None)
+            return m
+        n = self.height * self.width
+        return np.unpackbits(packed, count=n).astype(bool).reshape(
+            self.height, self.width)
 
 
 def _cam_slice(cams, idx):
     return tuple(c[idx] for c in cams)
 
 
-def _cam_gather(cams, idxs):
-    import jax.numpy as jnp
-
-    sel = jnp.asarray(idxs, jnp.int32)
-    return tuple(jnp.asarray(c)[sel] for c in cams)
-
-
 def lift_counts(ctx: SegContext, cam_idx: int, mask_path: str,
                 pts_filter: Optional[np.ndarray] = None) -> np.ndarray:
     """opt_label_w_seg for one (view, mask) pair (run_3d_seg.py:74-105)."""
-    mask = image_ops.read_mask(mask_path, (ctx.width, ctx.height))
+    mask = ctx.get_mask(mask_path)
     out = flashsplat.lift_view(
         ctx.state, *_cam_slice(ctx.cams, cam_idx),
         jnp.asarray(mask, jnp.int32), num_obj=1, width=ctx.width,
@@ -137,22 +146,36 @@ def counts_to_used_mask(counts: np.ndarray, slackness: float = 0.0
     return labels[1]
 
 
-def find_match(ctx: SegContext, candidate_idxs: Sequence[int],
-               used_mask: np.ndarray, iou_threshold: float
-               ) -> Tuple[List[int], List[str]]:
-    """Batched cross-view matching (reference find_match,
-    run_3d_seg.py:116-172): one vmapped render for all candidate views, then
-    host-side bbox overlap + seg-IoU association."""
-    if len(candidate_idxs) == 0:
-        return [], []
-    cams = _cam_gather(ctx.cams, list(candidate_idxs))
-    alphas = np.asarray(flashsplat.alpha_views(
-        ctx.state, *cams, jnp.asarray(used_mask), width=ctx.width,
+def alpha_all_views(ctx: SegContext, used_mask: np.ndarray) -> np.ndarray:
+    """(n_train, H, W) alpha of the used_mask subset in EVERY train view.
+
+    Always the full camera stack: the candidate subset shrinks every
+    refinement round, and a per-subset batch shape would recompile the
+    Pallas render pipeline each round (60-90 s through the remote-TPU
+    attachment) — one fixed shape compiles once and is also reused by the
+    per-head 2DSeg projection."""
+    return np.asarray(flashsplat.alpha_views(
+        ctx.state, *ctx.cams, jnp.asarray(used_mask), width=ctx.width,
         height=ctx.height, config=ctx.config))
 
+
+def find_match(ctx: SegContext, candidate_idxs: Sequence[int],
+               used_mask: np.ndarray, iou_threshold: float,
+               alphas: Optional[np.ndarray] = None
+               ) -> Tuple[List[int], List[str], np.ndarray]:
+    """Batched cross-view matching (reference find_match,
+    run_3d_seg.py:116-172): one fixed-shape render over all train views,
+    then host-side bbox overlap + seg-IoU association over the candidate
+    rows only. Returns (matched cams, matched mask paths, all-view alphas)
+    so callers can reuse the render."""
+    if len(candidate_idxs) == 0:
+        return [], [], alphas
+    if alphas is None:
+        alphas = alpha_all_views(ctx, used_mask)
+
     matched_idx, matched_paths = [], []
-    for row, cam_i in enumerate(candidate_idxs):
-        pred_seg = alphas[row] > 0.5
+    for cam_i in candidate_idxs:
+        pred_seg = alphas[cam_i] > 0.5
         pred_bbox = image_ops.get_bbox_from_mask(pred_seg)
         boxes = ctx.bboxes[cam_i]
         overlap = [k for k in range(len(boxes))
@@ -163,14 +186,14 @@ def find_match(ctx: SegContext, candidate_idxs: Sequence[int],
             if k >= len(ctx.mask_paths[cam_i]):
                 continue
             path = ctx.mask_paths[cam_i][k]
-            mask = image_ops.read_mask(path, (ctx.width, ctx.height))
+            mask = ctx.get_mask(path)
             iou = image_ops.calculate_seg_iou(mask, pred_seg)
             if iou > best_iou:
                 best_iou, best_path = iou, path
         if best_iou > iou_threshold:
             matched_idx.append(cam_i)
             matched_paths.append(best_path)
-    return matched_idx, matched_paths
+    return matched_idx, matched_paths, alphas
 
 
 def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
@@ -236,8 +259,8 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
         matched = [cam_i]
         matched_paths = [path]
         candidates = [i for i in range(len(ctx.image_names)) if i != cam_i]
-        new_idx, new_paths = find_match(ctx, candidates, used_mask,
-                                        iou_threshold)
+        new_idx, new_paths, alphas = find_match(ctx, candidates, used_mask,
+                                                iou_threshold)
         matched += new_idx
         matched_paths += new_paths
         processed.update(mask_name(p) for p in new_paths)
@@ -264,13 +287,15 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
             seen = set(matched)
             candidates = [i for i in range(len(ctx.image_names))
                           if i not in seen]
-            new_idx, new_paths = find_match(ctx, candidates, used_mask,
-                                            iou_threshold)
+            new_idx, new_paths, alphas = find_match(
+                ctx, candidates, used_mask, iou_threshold)
             if not new_idx:
                 break
             matched += new_idx
             matched_paths += new_paths
             processed.update(mask_name(p) for p in new_paths)
+        else:
+            alphas = None   # rounds exhausted: alphas predate the last lift
 
         # Overlap resolution against previously found heads.
         inst, which_overlap = reset_label(inst, used_mask, num_wheat_head)
@@ -303,12 +328,11 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
         save_pt(counts, os.path.join(count_dir, f"{which:04d}.pt"))
 
         # Project back to 2D: update per-view seg maps + overlays
-        # (run_3d_seg.py:351-377).
-        all_idx = list(range(len(ctx.image_names)))
-        alphas = np.asarray(flashsplat.alpha_views(
-            state, *_cam_gather(ctx.cams, all_idx),
-            jnp.asarray(used_mask), width=ctx.width, height=ctx.height,
-            config=ctx.config))
+        # (run_3d_seg.py:351-377). The refinement loop's terminal
+        # find_match already rendered every train view for this exact
+        # used_mask; reuse it.
+        if alphas is None:
+            alphas = alpha_all_views(ctx, used_mask)
         views = list(zip(ctx.image_names, alphas))
         if eval_cams is not None and len(eval_names):
             ev_alphas = np.asarray(flashsplat.alpha_views(
