@@ -32,6 +32,44 @@ def test_synthetic_scene_layout(scene_dir):
     assert boxes.ndim == 2 and boxes.shape[1] == 4
 
 
+def test_masks_are_visible_surface(scene_dir):
+    """SAM stand-in masks must be occlusion-resolved: per view, head masks
+    are pairwise disjoint (each pixel belongs to the nearest head only) —
+    amodal isolated-render masks would overlap wherever heads occlude."""
+    import collections
+
+    import numpy as np
+    from PIL import Image
+
+    views = collections.defaultdict(list)
+    for f in sorted(os.listdir(os.path.join(scene_dir, "masks"))):
+        views[f.rsplit("_", 1)[0]].append(np.asarray(
+            Image.open(os.path.join(scene_dir, "masks", f))) > 0)
+    assert views
+    for key, masks in views.items():
+        total = sum(m.astype(int) for m in masks)
+        assert total.max() <= 1, f"overlapping head masks in {key}"
+
+
+def test_regen_masks_deterministic(scene_dir):
+    """regen_masks with the same params+seed reproduces masks byte-for-byte
+    (lets experiments rewrite masks without invalidating trained models)."""
+    import hashlib
+
+    from wheat3dgs_tpu.io.synthetic import regen_masks
+
+    mask_dir = os.path.join(scene_dir, "masks")
+
+    def digest():
+        return {f: hashlib.md5(open(os.path.join(mask_dir, f), "rb").read())
+                .hexdigest() for f in os.listdir(mask_dir)}
+
+    before = digest()
+    regen_masks(scene_dir, width=80, height=64, n_heads=2,
+                pts_per_head=60, ground_pts=300, seed=1)
+    assert digest() == before
+
+
 def test_scene_reader_split(scene_dir):
     from wheat3dgs_tpu.config import ModelParams
     from wheat3dgs_tpu.scene import Scene

@@ -59,15 +59,20 @@ def _scene_points(rng: np.ndarray, n_heads: int, pts_per_head: int,
             np.concatenate(hid))
 
 
-def _ring_cameras(n: int, radius: float, elev_deg: float,
-                  center=(0.0, 0.0, 0.2)):
+def _ring_cameras(n: int, radius: float, elev_deg, center=(0.0, 0.0, 0.2)):
     """COLMAP (qvec, tvec) for n cameras on a ring looking at `center`
-    (+z forward, +y down convention)."""
+    (+z forward, +y down convention).
+
+    elev_deg: one elevation for all cameras, or a per-row sequence applied
+    by ring row (row = i // 12, mirroring the FIP image naming) — the real
+    gantry captures near-nadir rows, not a single oblique ring."""
     out = []
     center = np.asarray(center)
+    elevs = (list(elev_deg) if isinstance(elev_deg, (list, tuple))
+             else [elev_deg])
     for i in range(n):
         ang = 2 * np.pi * i / n
-        elev = np.deg2rad(elev_deg)
+        elev = np.deg2rad(elevs[(i // 12) % len(elevs)])
         eye = center + radius * np.array(
             [np.cos(ang) * np.cos(elev), np.sin(ang) * np.cos(elev),
              np.sin(elev)])
@@ -84,34 +89,17 @@ def _ring_cameras(n: int, radius: float, elev_deg: float,
     return out
 
 
-def make_synthetic_colmap_scene(
-    out_dir: str,
-    plot_id: int = 0,
-    width: int = 160,
-    height: int = 120,
-    n_cams: int = 12,
-    n_heads: int = 4,
-    pts_per_head: int = 120,
-    ground_pts: int = 900,
-    seed: int = 0,
-    point_jitter: float = 0.02,
-    with_masks: bool = True,
-    cam_radius: float = 2.2,
-    cam_elev_deg: float = 40.0,
-    head_centers=None,
-) -> dict:
-    """Create the dataset on disk; returns a manifest dict.
-
-    The COLMAP points3D are a jittered subsample of the true scene points so
-    training starts from a realistic (imperfect) SfM-style cloud.
-    """
+def _build_gt_scene(width: int, height: int, n_cams: int, n_heads: int,
+                    pts_per_head: int, ground_pts: int, seed: int,
+                    cam_radius: float, cam_elev_deg: float, head_centers):
+    """Deterministic ground-truth scene shared by full synthesis and
+    mask-only regeneration: (rng, state, colors/points arrays, cameras,
+    projection constants, raster config)."""
     import jax.numpy as jnp
-    from PIL import Image
 
     from ..models.gaussians import GaussianParams, init_state
     from ..ops.knn import knn_mean_sq_dist
-    from ..render.pipeline import RasterConfig, inference_config, render_jit
-    from . import colmap
+    from ..render.pipeline import RasterConfig, inference_config
 
     rng = np.random.default_rng(seed)
     points, colors, head_id = _scene_points(rng, n_heads, pts_per_head,
@@ -138,14 +126,113 @@ def make_synthetic_colmap_scene(
 
     fov = 0.9
     fx = graphics.fov2focal(fov, width)
-    fy = fx
     fovx = graphics.focal2fov(fx, width)
-    fovy = graphics.focal2fov(fy, height)
+    fovy = graphics.focal2fov(fx, height)
     proj = graphics.projection_matrix(0.01, 100.0, fovx, fovy)
     # Pallas forward on TPU (the XLA padded path at synthesis capacity is
     # ~10x slower for the dense generator scenes); CPU keeps the XLA path.
     config = inference_config(RasterConfig(
         max_tiles_per_gauss=32, max_per_tile=256, tile_batch=16))
+    cams = _ring_cameras(n_cams, radius=cam_radius, elev_deg=cam_elev_deg)
+    return (rng, points, colors, head_id, state, colors_cap, inst_cap,
+            fx, fovx, fovy, proj, config, cams)
+
+
+def _cam_args(qvec, tvec, proj, fovx, fovy):
+    """Per-camera jit arguments (w2c, full_proj, center, tan half-fovs)."""
+    import jax.numpy as jnp
+
+    R = graphics.qvec_to_rotmat(qvec)
+    w2c = np.eye(4)
+    w2c[:3, :3] = R
+    w2c[:3, 3] = tvec
+    full_proj = (proj @ w2c).astype(np.float32)
+    cam_center = (-R.T @ tvec).astype(np.float32)
+    return (jnp.asarray(w2c, jnp.float32), jnp.asarray(full_proj),
+            jnp.asarray(cam_center), jnp.float32(np.tan(fovx / 2)),
+            jnp.float32(np.tan(fovy / 2)))
+
+
+def _image_name(plot_id: int, i: int, n_cams: int) -> str:
+    # >12 ring positions cycle the FIP camera labels 1..12 (the split
+    # rule keys on the LAST underscore token: cam > 10 => test), giving
+    # the reference's 30 train / 6 test layout at 36 views.
+    if n_cams <= 12:
+        return f"plot_{plot_id:03d}_{i + 1:02d}.png"
+    return f"plot_{plot_id:03d}_r{i // 12}_{(i % 12) + 1:02d}.png"
+
+
+def _write_view_masks(out_dir: str, image_name: str, state, inst_cap,
+                      n_heads: int, args, width: int, height: int,
+                      config) -> None:
+    """Visible-surface per-head masks + bboxes for one view.
+
+    Real SAM masks (reference README.md:36-45) cover only the VISIBLE
+    surface of a head — occluded parts belong to the occluder's mask.
+    Rendering each head in isolation (as this generator originally did)
+    yields AMODAL masks, which depress the cross-view seg-IoU the
+    find-&-match loop depends on (run_3d_seg.py:116-172) and fragment the
+    discovered heads. So masks come from one depth-resolved instance map
+    (same resolution rule as the reference's eval_obj_labels,
+    utils/wheatgs_helper.py:245-271): per pixel, the nearest head with
+    alpha > 0.5 wins."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..seg.eval import eval_obj_labels
+
+    obj_labels = jnp.asarray(
+        np.arange(n_heads + 1)[:, None] == inst_cap[None, :])
+    pred = np.asarray(eval_obj_labels(
+        state, obj_labels, *args, width=width, height=height,
+        config=config))
+    boxes = []
+    mask_k = 0
+    for h in range(1, n_heads + 1):
+        mask = pred == h
+        if mask.sum() < 12:
+            continue
+        ys, xs = np.where(mask)
+        boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
+        Image.fromarray((mask * 255).astype(np.uint8), mode="L").save(
+            os.path.join(out_dir, "masks", f"{image_name}_{mask_k:03d}.png"))
+        mask_k += 1
+    _save_bboxes(os.path.join(out_dir, "bboxes", image_name + ".pt"),
+                 np.asarray(boxes, np.float32).reshape(-1, 4))
+
+
+def make_synthetic_colmap_scene(
+    out_dir: str,
+    plot_id: int = 0,
+    width: int = 160,
+    height: int = 120,
+    n_cams: int = 12,
+    n_heads: int = 4,
+    pts_per_head: int = 120,
+    ground_pts: int = 900,
+    seed: int = 0,
+    point_jitter: float = 0.02,
+    with_masks: bool = True,
+    cam_radius: float = 2.2,
+    cam_elev_deg: float = 40.0,
+    head_centers=None,
+) -> dict:
+    """Create the dataset on disk; returns a manifest dict.
+
+    The COLMAP points3D are a jittered subsample of the true scene points so
+    training starts from a realistic (imperfect) SfM-style cloud.
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..render.pipeline import render_jit
+    from . import colmap
+
+    (rng, points, colors, head_id, state, colors_cap, inst_cap,
+     fx, fovx, fovy, proj, config, cams) = _build_gt_scene(
+        width, height, n_cams, n_heads, pts_per_head, ground_pts, seed,
+        cam_radius, cam_elev_deg, head_centers)
+    n = len(points)
 
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)
@@ -153,33 +240,16 @@ def make_synthetic_colmap_scene(
     sparse = os.path.join(out_dir, "sparse", "0")
     os.makedirs(sparse, exist_ok=True)
 
-    cams = _ring_cameras(n_cams, radius=cam_radius,
-                         elev_deg=cam_elev_deg)
     intr = {1: colmap.ColmapCamera(1, "PINHOLE", width, height,
-                                   np.array([fx, fy, width / 2, height / 2]))}
+                                   np.array([fx, fx, width / 2, height / 2]))}
     extr = {}
     manifest = {"images": [], "n_points": n, "n_heads": n_heads}
     for i, (qvec, tvec) in enumerate(cams):
-        # >12 ring positions cycle the FIP camera labels 1..12 (the split
-        # rule keys on the LAST underscore token: cam > 10 => test), giving
-        # the reference's 30 train / 6 test layout at 36 views.
-        if n_cams <= 12:
-            name = f"plot_{plot_id:03d}_{i + 1:02d}.png"
-        else:
-            name = f"plot_{plot_id:03d}_r{i // 12}_{(i % 12) + 1:02d}.png"
+        name = _image_name(plot_id, i, n_cams)
         image_name = name[:-4]
         extr[i + 1] = colmap.ColmapImage(
             i + 1, qvec, tvec, 1, name, np.zeros((0, 2)), np.zeros(0, np.int64))
-
-        R = graphics.qvec_to_rotmat(qvec)
-        w2c = np.eye(4)
-        w2c[:3, :3] = R
-        w2c[:3, 3] = tvec
-        full_proj = (proj @ w2c).astype(np.float32)
-        cam_center = (-R.T @ tvec).astype(np.float32)
-        args = (jnp.asarray(w2c, jnp.float32), jnp.asarray(full_proj),
-                jnp.asarray(cam_center), jnp.float32(np.tan(fovx / 2)),
-                jnp.float32(np.tan(fovy / 2)))
+        args = _cam_args(qvec, tvec, proj, fovx, fovy)
 
         out = render_jit(state, *args, width, height, sh_degree=0,
                          override_color=colors_cap, config=config)
@@ -188,23 +258,12 @@ def make_synthetic_colmap_scene(
             os.path.join(out_dir, "images", name))
 
         # Per-head masks + bboxes (stand-ins for the YOLO+SAM outputs).
-        boxes = []
-        mask_k = 0
-        for h in range(1, n_heads + 1 if with_masks else 1):
-            used = jnp.asarray(inst_cap == h)
-            mout = render_jit(state, *args, width, height, sh_degree=0,
-                              override_color=colors_cap, used_mask=used,
-                              config=config)
-            mask = np.asarray(mout.alpha) > 0.5
-            if mask.sum() < 12:
-                continue
-            ys, xs = np.where(mask)
-            boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
-            Image.fromarray((mask * 255).astype(np.uint8), mode="L").save(
-                os.path.join(out_dir, "masks", f"{image_name}_{mask_k:03d}.png"))
-            mask_k += 1
-        _save_bboxes(os.path.join(out_dir, "bboxes", image_name + ".pt"),
-                     np.asarray(boxes, np.float32).reshape(-1, 4))
+        if with_masks:
+            _write_view_masks(out_dir, image_name, state, inst_cap, n_heads,
+                              args, width, height, config)
+        else:
+            _save_bboxes(os.path.join(out_dir, "bboxes", image_name + ".pt"),
+                         np.zeros((0, 4), np.float32))
         manifest["images"].append(name)
 
     colmap.write_intrinsics_binary(os.path.join(sparse, "cameras.bin"), intr)
@@ -223,6 +282,41 @@ def make_synthetic_colmap_scene(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def regen_masks(
+    out_dir: str,
+    plot_id: int = 0,
+    width: int = 160,
+    height: int = 120,
+    n_cams: int = 12,
+    n_heads: int = 4,
+    pts_per_head: int = 120,
+    ground_pts: int = 900,
+    seed: int = 0,
+    cam_radius: float = 2.2,
+    cam_elev_deg: float = 40.0,
+    head_centers=None,
+) -> None:
+    """Rewrite masks/ + bboxes/ of an existing synthetic scene (same
+    parameters + seed => identical geometry/cameras) without re-rendering
+    images — training artifacts built from the scene stay valid."""
+    (rng, points, colors, head_id, state, colors_cap, inst_cap,
+     fx, fovx, fovy, proj, config, cams) = _build_gt_scene(
+        width, height, n_cams, n_heads, pts_per_head, ground_pts, seed,
+        cam_radius, cam_elev_deg, head_centers)
+    for d in ("masks", "bboxes"):
+        full = os.path.join(out_dir, d)
+        if os.path.isdir(full):
+            for f in os.listdir(full):
+                os.remove(os.path.join(full, f))
+        else:
+            os.makedirs(full)
+    for i, (qvec, tvec) in enumerate(cams):
+        image_name = _image_name(plot_id, i, n_cams)[:-4]
+        args = _cam_args(qvec, tvec, proj, fovx, fovy)
+        _write_view_masks(out_dir, image_name, state, inst_cap, n_heads,
+                          args, width, height, config)
 
 
 def _save_bboxes(path: str, boxes: np.ndarray) -> None:
