@@ -22,12 +22,22 @@ from ..utils import graphics
 
 
 def _scene_points(rng: np.ndarray, n_heads: int, pts_per_head: int,
-                  ground_pts: int, head_centers=None):
+                  ground_pts: int, head_centers=None,
+                  color_noise: float = 0.15):
     """Returns (points, colors, head_id) with head_id 0 = ground.
 
     head_centers: optional (n_heads, 2) xy positions — lets experiments
     place ADJACENT heads deliberately (merge/overlap regression fixtures)
-    instead of uniform-random placement."""
+    instead of uniform-random placement.
+
+    color_noise: per-point color stddev. High-frequency texture is what
+    pins trained splats to fine, crisp primitives — on a low-texture scene
+    training reproduces the IMAGES with fat blurry splats whose alpha>0.5
+    instance boundaries are dilated/smeared vs the SAM-style masks (the
+    measured cause of sub-threshold find-&-match IoU: a GT-state lift
+    self-projects at IoU 0.95+, a blobby trained-state lift at ~0.66).
+    Real FIP photographs are texture-rich everywhere, which is the regime
+    the reference pipeline operates in."""
     pts, cols, hid = [], [], []
     # ground plane z ~ 0 (greens/browns)
     g = np.stack([rng.uniform(-1.2, 1.2, ground_pts),
@@ -35,7 +45,7 @@ def _scene_points(rng: np.ndarray, n_heads: int, pts_per_head: int,
                   rng.normal(0.0, 0.02, ground_pts)], axis=1)
     pts.append(g)
     base = np.array([0.25, 0.45, 0.15])
-    cols.append(base + rng.normal(0, 0.05, (ground_pts, 3)))
+    cols.append(base + rng.normal(0, color_noise, (ground_pts, 3)))
     hid.append(np.zeros(ground_pts, np.int32))
     # wheat heads: vertical ellipsoids above the plane (golden)
     for h in range(n_heads):
@@ -52,7 +62,8 @@ def _scene_points(rng: np.ndarray, n_heads: int, pts_per_head: int,
              + axis[None] * (t[:, None] * 0.09) + radial)
         pts.append(p)
         gold = np.array([0.8, 0.7, 0.3])
-        cols.append(gold + rng.normal(0, 0.04, (pts_per_head, 3)))
+        cols.append(gold + rng.normal(0, color_noise * 0.8,
+                                      (pts_per_head, 3)))
         hid.append(np.full(pts_per_head, h + 1, np.int32))
     return (np.concatenate(pts).astype(np.float32),
             np.clip(np.concatenate(cols), 0, 1).astype(np.float32),
@@ -91,7 +102,8 @@ def _ring_cameras(n: int, radius: float, elev_deg, center=(0.0, 0.0, 0.2)):
 
 def _build_gt_scene(width: int, height: int, n_cams: int, n_heads: int,
                     pts_per_head: int, ground_pts: int, seed: int,
-                    cam_radius: float, cam_elev_deg: float, head_centers):
+                    cam_radius: float, cam_elev_deg, head_centers,
+                    color_noise: float = 0.15, splat_scale: float = 0.6):
     """Deterministic ground-truth scene shared by full synthesis and
     mask-only regeneration: (rng, state, colors/points arrays, cameras,
     projection constants, raster config)."""
@@ -104,13 +116,17 @@ def _build_gt_scene(width: int, height: int, n_cams: int, n_heads: int,
     rng = np.random.default_rng(seed)
     points, colors, head_id = _scene_points(rng, n_heads, pts_per_head,
                                             ground_pts,
-                                            head_centers=head_centers)
+                                            head_centers=head_centers,
+                                            color_noise=color_noise)
     n = len(points)
 
     # Ground-truth Gaussian scene: isotropic splats sized by 3-NN distance.
+    # splat_scale 0.6 (was 0.9): slimmer GT splats render crisper boundaries
+    # (less neighbour smearing), which the trained model then reproduces.
     dist = np.sqrt(np.maximum(
         np.asarray(knn_mean_sq_dist(jnp.asarray(points))), 1e-12))
-    log_scales = np.log(np.clip(dist * 0.9, 1e-4, 0.1))[:, None].repeat(3, 1)
+    log_scales = np.log(np.clip(dist * splat_scale, 1e-4,
+                                0.1))[:, None].repeat(3, 1)
     params = GaussianParams(
         means=jnp.asarray(points),
         quats=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
