@@ -103,7 +103,7 @@ def _ring_cameras(n: int, radius: float, elev_deg, center=(0.0, 0.0, 0.2)):
 def _build_gt_scene(width: int, height: int, n_cams: int, n_heads: int,
                     pts_per_head: int, ground_pts: int, seed: int,
                     cam_radius: float, cam_elev_deg, head_centers,
-                    color_noise: float = 0.15, splat_scale: float = 0.6):
+                    color_noise: float = 0.15, splat_scale: float = 0.9):
     """Deterministic ground-truth scene shared by full synthesis and
     mask-only regeneration: (rng, state, colors/points arrays, cameras,
     projection constants, raster config)."""
@@ -121,8 +121,9 @@ def _build_gt_scene(width: int, height: int, n_cams: int, n_heads: int,
     n = len(points)
 
     # Ground-truth Gaussian scene: isotropic splats sized by 3-NN distance.
-    # splat_scale 0.6 (was 0.9): slimmer GT splats render crisper boundaries
-    # (less neighbour smearing), which the trained model then reproduces.
+    # splat_scale below ~0.7 makes the alpha>0.5 instance maps speckle
+    # (gaps between splats), fragmenting the SAM-style masks; 0.9 keeps the
+    # GT surface closed and mask solidity comes from _solidify_mask.
     dist = np.sqrt(np.maximum(
         np.asarray(knn_mean_sq_dist(jnp.asarray(points))), 1e-12))
     log_scales = np.log(np.clip(dist * splat_scale, 1e-4,
@@ -178,6 +179,25 @@ def _image_name(plot_id: int, i: int, n_cams: int) -> str:
     return f"plot_{plot_id:03d}_r{i // 12}_{(i % 12) + 1:02d}.png"
 
 
+def _solidify_mask(mask: np.ndarray) -> np.ndarray:
+    """Make a raw alpha>0.5 instance region SAM-like: morphological closing,
+    hole fill, largest connected component. Real SAM emits one solid region
+    per detection; the depth-resolved splat map is speckled at boundaries
+    (winner flips between interleaved splats), and speckle depresses every
+    seg-IoU the find-&-match loop computes."""
+    try:
+        from scipy import ndimage
+    except ImportError:             # pragma: no cover - scipy ships in-tree
+        return mask
+    m = ndimage.binary_closing(mask, structure=np.ones((3, 3)), iterations=2)
+    m = ndimage.binary_fill_holes(m)
+    lab, n = ndimage.label(m)
+    if n > 1:
+        sizes = ndimage.sum_labels(m, lab, index=np.arange(1, n + 1))
+        m = lab == (1 + int(np.argmax(sizes)))
+    return m
+
+
 def _write_view_masks(out_dir: str, image_name: str, state, inst_cap,
                       n_heads: int, args, width: int, height: int,
                       config) -> None:
@@ -205,7 +225,7 @@ def _write_view_masks(out_dir: str, image_name: str, state, inst_cap,
     boxes = []
     mask_k = 0
     for h in range(1, n_heads + 1):
-        mask = pred == h
+        mask = _solidify_mask(pred == h)
         if mask.sum() < 12:
             continue
         ys, xs = np.where(mask)
