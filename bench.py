@@ -193,17 +193,20 @@ def main():
     from wheat3dgs_tpu.render.pipeline import (adapt_config, inference_config,
                                                render_fwd_jit)
 
-    rcams = cams[0]
-    config = adapt_config(trainer.state, rcams, w, h,
-                          inference_config(config))
-    out = render_fwd_jit(trainer.state, *rcams, w, h, sh_degree=3,
+    # Rotate through the training cameras (not one camera repeated) so the
+    # FPS reflects view-dependent occupancy/sort-size variance; budget sized
+    # over several probe views so no frame overflows (VERDICT r4 weak #7).
+    config = adapt_config(trainer.state, cams[0], w, h,
+                          inference_config(config),
+                          cams=[cams[i] for i in range(0, n_train, 4)])
+    out = render_fwd_jit(trainer.state, *cams[0], w, h, sh_degree=3,
                          config=config)
     jax.block_until_ready(out.color)
     t0 = time.time()
     reps = 30
-    for _ in range(reps):
-        out = render_fwd_jit(trainer.state, *rcams, w, h, sh_degree=3,
-                             config=config)
+    for r in range(reps):
+        out = render_fwd_jit(trainer.state, *cams[r % n_train], w, h,
+                             sh_degree=3, config=config)
     jax.block_until_ready(out.color)
     fps = reps / (time.time() - t0)
     print(f"render: {fps:.1f} FPS @{w}x{h} (forward-only inference path)",

@@ -4,8 +4,8 @@
 # reference defaults, /root/reference/run_wheat_3dgs.sh:57-66), per-head
 # closeup turntables, and morphology traits over the discovered heads.
 set -ex
-MODEL=${SEG_MODEL:-/tmp/wheat3dgs_segenv3_model}
-SCENE=${SEG_SCENE:-/tmp/wheat3dgs_segenv3_scene}
+MODEL=${SEG_MODEL:-/tmp/wheat3dgs_segenv_model}
+SCENE=${SEG_SCENE:-/tmp/wheat3dgs_segenv_scene}
 EXP=${EXP:-envelope}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 
@@ -17,7 +17,7 @@ time python "$REPO/render_360.py" -s "$SCENE" -m "$MODEL" --exp_name "$EXP" \
     --elevation 30
 
 # Morphology traits over the discovered per-head point clouds (CPU).
-OUT=${MORPH_OUT:-/tmp/morph_envelope3_results}
+OUT=${MORPH_OUT:-/tmp/morph_envelope_results}
 mkdir -p "$OUT"
 cat > /tmp/morph_envelope3.yaml <<EOF
 data_folder: "$MODEL/wheat-head/$EXP/ply/"

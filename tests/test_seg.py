@@ -92,6 +92,137 @@ def test_reset_label_semantics():
     assert which is None and (out[new_mask] == 2).all()
 
 
+def _tiny_state_and_cam(n=60, width=64, height=48, seed=7, capacity=64):
+    from wheat3dgs_tpu.models import gaussians as G
+
+    g = testing.random_gaussians(n=n, seed=seed, spread=0.7)
+    o = np.clip(g["opacities"], 1e-4, 1 - 1e-4)
+    params = G.GaussianParams(
+        means=jnp.asarray(g["means3d"]),
+        quats=jnp.asarray(g["quats"]),
+        log_scales=jnp.asarray(np.log(g["scales"])),
+        sh_dc=jnp.asarray(g["colors"]),
+        sh_rest=jnp.zeros((n, 0), jnp.float32),
+        opacity_logit=jnp.asarray(np.log(o / (1 - o))))
+    state = G.init_state(params, capacity=capacity)
+    cam = testing.look_at_camera(width=width, height=height)
+    cams = (jnp.asarray(cam.w2c), jnp.asarray(cam.full_proj),
+            jnp.asarray(cam.cam_center), jnp.float32(cam.tanfovx),
+            jnp.float32(cam.tanfovy))
+    return state, cams
+
+
+def test_lift_batch8_matches_lift_view():
+    """The VJP-through-colors batched lift == the per-mask label-image lift."""
+    from wheat3dgs_tpu.render.pipeline import RasterConfig
+    from wheat3dgs_tpu.seg import flashsplat
+
+    w, h = 64, 48
+    state, cams = _tiny_state_and_cam(width=w, height=h)
+    conf = RasterConfig(max_tiles_per_gauss=32, max_per_tile=128,
+                        tile_batch=4)
+    rng = np.random.default_rng(3)
+    masks = rng.random((8, h, w)) < 0.3          # 7 random masks + ones row
+    masks[7] = True
+    bits8 = np.stack([np.packbits(m, axis=None) for m in masks])
+
+    got = np.asarray(flashsplat.lift_batch8(
+        state, *cams, jnp.asarray(bits8), width=w, height=h, config=conf))
+
+    for m in range(8):
+        ref = flashsplat.lift_view(
+            state, *cams, jnp.asarray(masks[m], jnp.int32), num_obj=1,
+            width=w, height=h, config=conf)
+        np.testing.assert_allclose(got[m], np.asarray(ref.used_count)[1],
+                                   atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_lift_batch8_pallas_backend_parity():
+    """Same VJP lift through the Pallas custom_vjp (interpret mode) — the
+    path the TPU envelope run takes (bf16 reduction => loose tolerance)."""
+    from wheat3dgs_tpu.render.pipeline import RasterConfig
+    from wheat3dgs_tpu.seg import flashsplat
+
+    w, h = 64, 48
+    state, cams = _tiny_state_and_cam(width=w, height=h)
+    xla = RasterConfig(max_tiles_per_gauss=32, max_per_tile=128,
+                       tile_batch=4)
+    pal = RasterConfig(backend="pallas", entry_budget=2048)
+    rng = np.random.default_rng(3)
+    masks = rng.random((8, h, w)) < 0.3
+    masks[7] = True
+    bits8 = jnp.asarray(
+        np.stack([np.packbits(m, axis=None) for m in masks]))
+
+    got = np.asarray(flashsplat.lift_batch8(
+        state, *cams, bits8, width=w, height=h, config=pal))
+    want = np.asarray(flashsplat.lift_batch8(
+        state, *cams, bits8, width=w, height=h, config=xla))
+    # bf16 per-entry rounding in the Pallas gradient reduction: ~0.4% rel.
+    np.testing.assert_allclose(got, want, atol=5e-3,
+                               rtol=2e-2)
+
+
+def test_match_views_packed_parity():
+    """Device-side packed matching == host thresholds/bboxes/IoUs."""
+    from wheat3dgs_tpu.render.pipeline import RasterConfig
+    from wheat3dgs_tpu.seg import flashsplat
+    from wheat3dgs_tpu.utils import image_ops
+
+    w, h = 64, 48
+    state, cams = _tiny_state_and_cam(width=w, height=h)
+    # A 2-view camera "batch" (same camera twice is fine for parity).
+    cams_b = tuple(jnp.stack([c, c]) for c in cams)
+    conf = RasterConfig(max_tiles_per_gauss=32, max_per_tile=128,
+                        tile_batch=4)
+    rng = np.random.default_rng(5)
+    counts = jnp.asarray(rng.uniform(0, 2, (2, state.capacity)),
+                         jnp.float32)
+    m_masks = rng.random((2, 3, h, w)) < 0.25     # (B=2, M=3) SAM masks
+    bits = np.stack([[np.packbits(mm, axis=None) for mm in view]
+                     for view in m_masks])
+
+    used, inter, area, bbox, _ = flashsplat.match_views_packed(
+        state, *cams_b, counts, jnp.asarray(bits), width=w, height=h,
+        config=conf)
+    used = np.asarray(used)
+
+    want_used = np.asarray(mask_lift.multi_instance_opt(counts))[1]
+    np.testing.assert_array_equal(used, want_used)
+
+    alphas = np.asarray(flashsplat.alpha_views(
+        state, *cams_b, jnp.asarray(used), width=w, height=h, config=conf))
+    for v in range(2):
+        pred = alphas[v] > 0.5
+        assert int(np.asarray(area)[v]) == int(pred.sum())
+        if pred.sum():
+            assert tuple(np.asarray(bbox)[v]) == \
+                image_ops.get_bbox_from_mask(pred)
+        for k in range(3):
+            want_inter = int(np.logical_and(pred, m_masks[v, k]).sum())
+            assert int(np.asarray(inter)[v, k]) == want_inter
+
+
+def test_predbits_views_roundtrip():
+    from wheat3dgs_tpu.render.pipeline import RasterConfig
+    from wheat3dgs_tpu.seg import flashsplat
+
+    w, h = 64, 48
+    state, cams = _tiny_state_and_cam(width=w, height=h)
+    cams_b = tuple(jnp.stack([c]) for c in cams)
+    conf = RasterConfig(max_tiles_per_gauss=32, max_per_tile=128,
+                        tile_batch=4)
+    used = jnp.ones((state.capacity,), bool)
+    bits, _ = flashsplat.predbits_views(
+        state, *cams_b, used, width=w, height=h, config=conf)
+    pred = np.unpackbits(np.asarray(bits)[0], count=h * w).astype(
+        bool).reshape(h, w)
+    alphas = np.asarray(flashsplat.alpha_views(
+        state, *cams_b, used, width=w, height=h, config=conf))
+    np.testing.assert_array_equal(pred, alphas[0] > 0.5)
+
+
 @pytest.fixture(scope="module")
 def trained_scene(tmp_path_factory):
     """Synthetic scene + quick-trained model for the seg pipeline."""
@@ -234,13 +365,18 @@ def test_adjacent_heads_merge_no_duplicates(adjacent_scene):
     assert summary["num_heads"] == 3, summary
     plys = sorted(f for f in os.listdir(os.path.join(base, "ply"))
                   if f.startswith("wh_"))
-    assert len(plys) == 3
-    # Every id appears exactly once in the artifact tree (duplicate-id
-    # count == 0) and the three heads are spatially distinct: centroids
+    # Exactly 3 DISTINCT head ids. Letter-suffixed re-saves (wh_0001_a) are
+    # the reference's own merge artifact (find_new_mask_dir,
+    # run_3d_seg.py:33-46): a repeat discovery that reset_label correctly
+    # folded into an existing id. What must never happen is a 4th id
+    # (duplicate escaping the merge) or fewer than 3 (adjacent heads fused).
+    ids = sorted({f[3:-4].split("_")[0] for f in plys})
+    assert ids == ["0001", "0002", "0003"], plys
+    # The three heads are spatially distinct: centroids of the base saves
     # must be separated along the placement axis.
     cxs = []
-    for f in plys:
-        d = read_ply(os.path.join(base, "ply", f))
+    for hid in ids:
+        d = read_ply(os.path.join(base, "ply", f"wh_{hid}.ply"))
         cxs.append(float(np.mean(d["x"])))
     cxs = sorted(cxs)
     assert cxs[1] - cxs[0] > 0.05 and cxs[2] - cxs[1] > 0.05, cxs

@@ -87,3 +87,163 @@ def apply_pts_filter(all_counts: jnp.ndarray, pts_filter) -> jnp.ndarray:
 
 
 multi_instance_opt = mask_lift.multi_instance_opt
+
+
+# ---------------------------------------------------------------------------
+# Device-resident fast path for the find-&-match loop.
+#
+# A per-(mask, refinement) step of the reference pipeline renders the
+# candidate subset in EVERY train view and IoU-matches each against that
+# view's SAM masks (run_3d_seg.py:116-172). Shipping 36 full-res alpha
+# frames to the host per step costs ~15 s through the remote-TPU attachment
+# (measured, scripts/prof_seg.py) and host-side mask IoU another ~4 s; both
+# stay on-device here: masks live as bit-packed uint8 planes in HBM, the
+# subset render is thresholded, bit-packed and popcount-intersected on the
+# TPU, and only per-view scalars (intersection counts, areas, bboxes) plus
+# the (N,) used_mask come back.
+# ---------------------------------------------------------------------------
+
+_BIT_W = jnp.asarray([128.0, 64.0, 32.0, 16.0, 8.0, 4.0, 2.0, 1.0],
+                     jnp.float32)
+
+
+def _pack_bits(pred: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) bool -> (ceil(H*W/8),) uint8, np.packbits(axis=None) order
+    (row-major flatten, first pixel = MSB; zero-padded tail byte)."""
+    flat = pred.reshape(-1).astype(jnp.float32)
+    pad = (-flat.shape[0]) % 8
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return jnp.dot(flat.reshape(-1, 8), _BIT_W).astype(jnp.uint8)
+
+
+def _unpack_bits(bits: jnp.ndarray, n_pix: int) -> jnp.ndarray:
+    """(..., B8) uint8 -> (..., n_pix) float32 in {0, 1}."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+    u = (bits.astype(jnp.int32)[..., None] >> shifts) & 1
+    return u.reshape(bits.shape[:-1] + (-1,))[..., :n_pix].astype(jnp.float32)
+
+
+def _bbox_device(pred: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """(H, W) bool -> (4,) int32 [x0, y0, x1, y1] (garbage when empty — the
+    caller gates on pred_area > 0, as image_ops.get_bbox_from_mask's None)."""
+    ys = jnp.any(pred, axis=1)
+    xs = jnp.any(pred, axis=0)
+    y0 = jnp.argmax(ys)
+    y1 = height - 1 - jnp.argmax(ys[::-1])
+    x0 = jnp.argmax(xs)
+    x1 = width - 1 - jnp.argmax(xs[::-1])
+    return jnp.stack([x0, y0, x1, y1]).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "config"))
+def match_views_packed(state: GaussianState, w2c, full_proj, cam_center,
+                       tanfovx, tanfovy, counts, mask_bits, *, width: int,
+                       height: int, config: RasterConfig = RasterConfig()):
+    """One device program for a full find-&-match association step.
+
+    counts: (2, N) additive FlashSplat counts for the current candidate;
+    mask_bits: (B, M, B8) uint8 bit-packed SAM masks per train view.
+    Returns (used_mask (N,) bool, inter (B, M) int32 intersection pixel
+    counts vs each mask, pred_area (B,) int32, bbox (B, 4) int32,
+    entries_max () int32 overflow telemetry).
+
+    Reference semantics: used_mask = multi_instance_opt row 1
+    (run_3d_seg.py:107-114); per view, pred_seg = subset alpha > 0.5 and
+    seg-IoU vs every mask (run_3d_seg.py:130-156) — IoU is finished on the
+    host from (inter, pred_area, mask areas)."""
+    from ..render.pipeline import render_fwd
+
+    used = mask_lift.multi_instance_opt(counts)[1]
+
+    def one(args):
+        cam_i, bits_i = args
+        out = render_fwd(state, *cam_i, width, height, 0, used_mask=used,
+                         config=config, with_color=False, with_depth=False)
+        pred = out.alpha > 0.5
+        area = pred.sum(dtype=jnp.int32)
+        bbox = _bbox_device(pred, width, height)
+        pbits = _pack_bits(pred)
+        inter = jax.lax.population_count(
+            (pbits[None, :] & bits_i).astype(jnp.uint8)
+        ).astype(jnp.int32).sum(axis=1)
+        total = out.entries_total if out.entries_total is not None \
+            else jnp.int32(0)
+        return inter, area, bbox, total
+
+    cams = (w2c, full_proj, cam_center, tanfovx, tanfovy)
+    if config.backend == "pallas":
+        inter, area, bbox, totals = jax.lax.map(one, (cams, mask_bits))
+    else:
+        inter, area, bbox, totals = jax.vmap(
+            lambda c, b: one((c, b)))(cams, mask_bits)
+    return used, inter, area, bbox, totals.max()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "config"))
+def predbits_views(state: GaussianState, w2c, full_proj, cam_center,
+                   tanfovx, tanfovy, used_mask, *, width: int, height: int,
+                   config: RasterConfig = RasterConfig()):
+    """(B, ceil(H*W/8)) uint8 bit-packed pred-seg (alpha > 0.5) of the
+    used_mask subset in every view + entries_max telemetry — the per-head
+    2D projection (run_3d_seg.py:351-377) shipped as packed bits (~8.6 MB
+    for 36 full-res views instead of 276 MB of f32 alphas)."""
+    from ..render.pipeline import render_fwd
+
+    def one(cam_i):
+        out = render_fwd(state, *cam_i, width, height, 0,
+                         used_mask=used_mask, config=config,
+                         with_color=False, with_depth=False)
+        total = out.entries_total if out.entries_total is not None \
+            else jnp.int32(0)
+        return _pack_bits(out.alpha > 0.5), total
+
+    cams = (w2c, full_proj, cam_center, tanfovx, tanfovy)
+    if config.backend == "pallas":
+        bits, totals = jax.lax.map(one, cams)
+    else:
+        bits, totals = jax.vmap(one)(cams)
+    return bits, totals.max()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "config"))
+def lift_batch8(state: GaussianState, w2c, full_proj, cam_center, tanfovx,
+                tanfovy, mask_bits8, *, width: int, height: int,
+                config: RasterConfig = RasterConfig()) -> jnp.ndarray:
+    """FlashSplat-lift 8 masks of ONE view in a single fwd+bwd pass.
+
+    used_count[m, i] = sum_{p in mask_m} w_{p,i} is linear in the mask, and
+    w does not depend on per-Gaussian colors — so it is EXACTLY the VJP of
+    an 8-channel override_color render w.r.t. the colors, with the masks as
+    the color cotangent:
+
+        d/dc[i, m]  sum_p mask_m[p] * (sum_j w_{p,j} c[j, m])
+                  = sum_p mask_m[p] * w_{p, i}.
+
+    This reuses the battle-tested differentiable rasterizer (either
+    backend) instead of a bespoke lift kernel; per (view, 8 masks) it costs
+    one render fwd+bwd at the full-scene entry budget — ~50 ms on-chip vs
+    ~400 ms/mask for the padded XLA composite (scripts/prof_seg.py), and
+    the WHOLE view's mask set lifts in ceil((M+1)/8) calls. Reference:
+    gaussian_renderer/__init__.py:109-218 accumulated per single mask.
+
+    mask_bits8: (8, B8) uint8 bit-packed masks (np.packbits order).
+    Returns (8, N) float32 counts. Pallas backend note: per-entry gradients
+    round to bf16 before the per-splat reduction (~0.4% relative), same as
+    training gradients — far below the multi_instance_opt decision margin.
+    """
+    from ..render.pipeline import render
+
+    masks = _unpack_bits(mask_bits8, width * height).reshape(
+        8, height, width)
+
+    def f(colors):
+        out = render(state, w2c, full_proj, cam_center, tanfovx, tanfovy,
+                     width, height, 0, override_color=colors, config=config)
+        return (out.color * masks).sum()
+
+    colors0 = jnp.zeros((state.capacity, 8), jnp.float32)
+    return jax.grad(f)(colors0).T

@@ -108,6 +108,26 @@ class SegContext:
     # heads; PNG decode (~15 ms) dominated its host time.
     mask_cache: Dict[str, np.ndarray] = dataclasses.field(
         default_factory=dict)
+    # --- device fast-path state (built lazily by _ensure_device) ---------
+    # Bit-packed SAM mask planes resident in HBM: the association step
+    # renders + thresholds + popcount-intersects ON DEVICE and returns only
+    # per-view scalars (shipping 36 full-res alphas to the host measured
+    # ~15 s/step through the remote-TPU tunnel, scripts/prof_seg.py).
+    mask_bits_np: Optional[np.ndarray] = None     # (B, M_max, B8) uint8
+    mask_bits_dev: Optional[object] = None
+    mask_areas: Optional[np.ndarray] = None       # (B, M_max) int64
+    # FlashSplat counts cache: one VJP-batched lift per camera covers every
+    # (initial + refinement) lift of the whole run (reference re-lifts per
+    # mask, run_3d_seg.py:74-105).
+    counts_own: Dict[tuple, np.ndarray] = dataclasses.field(
+        default_factory=dict)                     # (cam_i, k) -> (N,) f32
+    counts_total: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)                     # cam_i -> (N,) f32
+    # Entry-budget rung for subset renders (Pallas backend): candidate
+    # subsets are ~100x smaller than the scene, so the match/predbits
+    # programs run at a fraction of the full budget; overflow telemetry
+    # bumps the rung (one recompile) instead of cropping silently.
+    seg_budget: int = 0
 
     def get_mask(self, path: str) -> np.ndarray:
         packed = self.mask_cache.get(path)
@@ -118,6 +138,107 @@ class SegContext:
         n = self.height * self.width
         return np.unpackbits(packed, count=n).astype(bool).reshape(
             self.height, self.width)
+
+    # ---- device fast path ------------------------------------------------
+
+    def _ensure_device(self) -> None:
+        if self.mask_bits_np is not None:
+            return
+        b8 = -(-self.width * self.height // 8)
+        n_cam = len(self.image_names)
+        m_max = max(1, max(len(p) for p in self.mask_paths))
+        bits = np.zeros((n_cam, m_max, b8), np.uint8)
+        areas = np.zeros((n_cam, m_max), np.int64)
+        for ci, paths in enumerate(self.mask_paths):
+            for k, p in enumerate(paths):
+                m = self.get_mask(p)
+                bits[ci, k] = self.mask_cache[p]
+                areas[ci, k] = int(m.sum())
+        self.mask_bits_np = bits
+        self.mask_areas = areas
+        self.mask_bits_dev = jnp.asarray(bits)
+        if self.seg_budget == 0:
+            full = self.config.entry_budget or 16 * self.state.capacity
+            self.seg_budget = max(2048, (full // 8 + 127) // 128 * 128)
+
+    def _seg_config(self) -> RasterConfig:
+        if self.config.backend != "pallas":
+            return self.config
+        return dataclasses.replace(self.config, entry_budget=self.seg_budget)
+
+    def cached_counts(self, cam_i: int, path: str) -> np.ndarray:
+        """(2, N) FlashSplat counts for one (view, mask) — from the per-view
+        VJP-batched lift cache (filled on first touch of the camera)."""
+        self._ensure_device()
+        k = self.mask_paths[cam_i].index(path)
+        if cam_i not in self.counts_total:
+            self._lift_camera(cam_i)
+        own = self.counts_own[(cam_i, k)]
+        return np.stack([self.counts_total[cam_i] - own, own])
+
+    def _lift_camera(self, cam_i: int) -> None:
+        from . import flashsplat
+
+        m = len(self.mask_paths[cam_i])
+        b8 = self.mask_bits_np.shape[-1]
+        # rows: the view's M masks + one all-ones mask (the total-weight row
+        # that closes the background channel: bg = total - own).
+        ones_bits = np.packbits(
+            np.ones(self.width * self.height, bool), axis=None)
+        rows = [self.mask_bits_np[cam_i, k] for k in range(m)]
+        rows.append(ones_bits[:b8])
+        pad = (-len(rows)) % 8
+        rows += [np.zeros(b8, np.uint8)] * pad
+        cam = _cam_slice(self.cams, cam_i)
+        outs = []
+        for b0 in range(0, len(rows), 8):
+            bits8 = jnp.asarray(np.stack(rows[b0:b0 + 8]))
+            outs.append(np.asarray(flashsplat.lift_batch8(
+                self.state, *cam, bits8, width=self.width,
+                height=self.height, config=self.config)))
+        allrows = np.concatenate(outs, axis=0)
+        self.counts_total[cam_i] = allrows[m]
+        for k in range(m):
+            self.counts_own[(cam_i, k)] = allrows[k]
+
+    def match_device(self, counts: np.ndarray):
+        """used_mask + per-view (inter, pred_area, bbox) from ONE device
+        call; bumps the entry-budget rung and retries on overflow."""
+        from . import flashsplat
+
+        self._ensure_device()
+        while True:
+            used, inter, area, bbox, entries = flashsplat.match_views_packed(
+                self.state, *self.cams, jnp.asarray(counts),
+                self.mask_bits_dev, width=self.width, height=self.height,
+                config=self._seg_config())
+            if (self.config.backend != "pallas"
+                    or int(entries) <= self.seg_budget):
+                return (np.asarray(used), np.asarray(inter),
+                        np.asarray(area), np.asarray(bbox))
+            self.seg_budget = ((int(entries) * 2 + 127) // 128) * 128
+
+    def predbits_device(self, used_mask: np.ndarray,
+                        cams: Optional[tuple] = None) -> np.ndarray:
+        """(B, H, W) bool pred-seg of the subset in every view (train views
+        by default, or an explicit camera stack e.g. the eval split)."""
+        from . import flashsplat
+
+        self._ensure_device()
+        cam_stack = cams if cams is not None else self.cams
+        while True:
+            bits, entries = flashsplat.predbits_views(
+                self.state, *cam_stack, jnp.asarray(used_mask),
+                width=self.width, height=self.height,
+                config=self._seg_config())
+            if (self.config.backend != "pallas"
+                    or int(entries) <= self.seg_budget):
+                bits = np.asarray(bits)
+                n = self.height * self.width
+                return np.unpackbits(
+                    bits, axis=-1, count=n).astype(bool).reshape(
+                        bits.shape[0], self.height, self.width)
+            self.seg_budget = ((int(entries) * 2 + 127) // 128) * 128
 
 
 def _cam_slice(cams, idx):
@@ -157,6 +278,40 @@ def alpha_all_views(ctx: SegContext, used_mask: np.ndarray) -> np.ndarray:
     return np.asarray(flashsplat.alpha_views(
         ctx.state, *ctx.cams, jnp.asarray(used_mask), width=ctx.width,
         height=ctx.height, config=ctx.config))
+
+
+def find_match_device(ctx: SegContext, candidate_idxs: Sequence[int],
+                      counts: np.ndarray, iou_threshold: float
+                      ) -> Tuple[np.ndarray, List[int], List[str]]:
+    """Device-resident find_match (reference find_match,
+    run_3d_seg.py:116-172): one jit call renders the candidate subset in
+    every train view, thresholds, and popcount-intersects against the HBM-
+    resident bit-packed SAM masks; the host finishes the bbox gate + IoU
+    argmax from per-view scalars. Returns (used_mask, matched cam indices,
+    matched mask paths) — semantically identical to find_match() on the
+    shipped alphas (tests/test_seg.py::test_match_views_packed_parity)."""
+    used, inter, area, bbox = ctx.match_device(counts)
+    matched_idx, matched_paths = [], []
+    for cam_i in candidate_idxs:
+        if area[cam_i] == 0:
+            continue
+        pred_bbox = tuple(bbox[cam_i].tolist())
+        boxes = ctx.bboxes[cam_i]
+        n_masks = len(ctx.mask_paths[cam_i])
+        best_iou, best_k = iou_threshold, -1
+        for k in range(min(len(boxes), n_masks)):
+            if not image_ops.is_overlapping(pred_bbox,
+                                            tuple(boxes[k].tolist())):
+                continue
+            union = ctx.mask_areas[cam_i, k] + area[cam_i] \
+                - inter[cam_i, k]
+            iou = inter[cam_i, k] / union if union > 0 else 0.0
+            if iou > best_iou:
+                best_iou, best_k = iou, k
+        if best_k >= 0:
+            matched_idx.append(cam_i)
+            matched_paths.append(ctx.mask_paths[cam_i][best_k])
+    return used, matched_idx, matched_paths
 
 
 def find_match(ctx: SegContext, candidate_idxs: Sequence[int],
@@ -250,17 +405,18 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
             processed.add(name)
         log(f"==== lifting {name} ====")
 
-        counts = lift_counts(ctx, cam_i, path, pts_filter)
-        used_mask = counts_to_used_mask(counts)
-        if used_mask.sum() == 0:
-            log(f"no above-canopy Gaussians for {name}; pass")
-            continue
+        counts = ctx.cached_counts(cam_i, path)
+        if pts_filter is not None:
+            counts[1:, pts_filter] = 0.0
 
         matched = [cam_i]
         matched_paths = [path]
         candidates = [i for i in range(len(ctx.image_names)) if i != cam_i]
-        new_idx, new_paths, alphas = find_match(ctx, candidates, used_mask,
-                                                iou_threshold)
+        used_mask, new_idx, new_paths = find_match_device(
+            ctx, candidates, counts, iou_threshold)
+        if used_mask.sum() == 0:
+            log(f"no above-canopy Gaussians for {name}; pass")
+            continue
         matched += new_idx
         matched_paths += new_paths
         processed.update(mask_name(p) for p in new_paths)
@@ -280,22 +436,19 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
         # (run_3d_seg.py:297-323).
         for _ in range(1, max_refine_rounds + 1):
             for ci, p in zip(new_idx, new_paths):
-                counts += lift_counts(ctx, ci, p)
+                counts += ctx.cached_counts(ci, p)
             if pts_filter is not None:
                 counts[1:, pts_filter] = 0.0
-            used_mask = counts_to_used_mask(counts)
             seen = set(matched)
             candidates = [i for i in range(len(ctx.image_names))
                           if i not in seen]
-            new_idx, new_paths, alphas = find_match(
-                ctx, candidates, used_mask, iou_threshold)
+            used_mask, new_idx, new_paths = find_match_device(
+                ctx, candidates, counts, iou_threshold)
             if not new_idx:
                 break
             matched += new_idx
             matched_paths += new_paths
             processed.update(mask_name(p) for p in new_paths)
-        else:
-            alphas = None   # rounds exhausted: alphas predate the last lift
 
         # Overlap resolution against previously found heads.
         inst, which_overlap = reset_label(inst, used_mask, num_wheat_head)
@@ -328,21 +481,14 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
         save_pt(counts, os.path.join(count_dir, f"{which:04d}.pt"))
 
         # Project back to 2D: update per-view seg maps + overlays
-        # (run_3d_seg.py:351-377). The refinement loop's terminal
-        # find_match already rendered every train view for this exact
-        # used_mask; reuse it.
-        if alphas is None:
-            alphas = alpha_all_views(ctx, used_mask)
-        views = list(zip(ctx.image_names, alphas))
+        # (run_3d_seg.py:351-377) — packed pred bits from the device
+        # (~8.6 MB per 36 full-res views instead of 276 MB of alphas).
+        views = list(zip(ctx.image_names, ctx.predbits_device(used_mask)))
         if eval_cams is not None and len(eval_names):
-            ev_alphas = np.asarray(flashsplat.alpha_views(
-                state, *eval_cams, jnp.asarray(used_mask), width=ctx.width,
-                height=ctx.height, config=ctx.config))
-            views += list(zip(eval_names, ev_alphas))
-        for vi_, (vname, a) in enumerate(views):
-            pred_seg = a > 0.5
+            views += list(zip(eval_names, ctx.predbits_device(
+                used_mask, cams=eval_cams)))
+        for vi_, (vname, pred_seg) in enumerate(views):
             seg_maps[vname][pred_seg] = which
-            save_pt(seg_maps[vname], os.path.join(seg_dir, f"{vname}.pt"))
             # Per-view inspection overlays for this head
             # (reference vis_image_w_overlay, run_3d_seg.py:364-372).
             if ctx.images is not None and vi_ < len(ctx.images):
@@ -351,9 +497,20 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
                     os.path.join(this_img_dir, f"{vname}.jpg"),
                     resize_factor=4)
 
+        # The reference re-saves every 2DSeg map after every head
+        # (run_3d_seg.py:361-363) — ~320 MB of .pt writes per head at 36
+        # full-res views, which dominated the envelope run's wall time.
+        # The maps are cumulative in memory; checkpoint them every 10 heads
+        # (crash-resume) and write the identical final state once at the
+        # end.
+        if num_wheat_head % 10 == 0:
+            for vname, m in seg_maps.items():
+                save_pt(m, os.path.join(seg_dir, f"{vname}.pt"))
         if exp_id % 5 == 0:
             save_ply(state, os.path.join(base, "gaussians.ply"))
 
+    for vname, m in seg_maps.items():
+        save_pt(m, os.path.join(seg_dir, f"{vname}.pt"))
     save_ply(state, os.path.join(base, "gaussians.ply"))
     results_f.close()
     return {"num_heads": num_wheat_head, "state": state,
