@@ -109,3 +109,48 @@ def test_all_counts_pt_fixture():
         save_pt(counts, p)
         back = torch.load(p, weights_only=True).numpy()
         np.testing.assert_array_equal(back, counts)
+
+
+def test_reference_layout_ply_fixtures():
+    """load_ply reads PLYs in the reference's exact plyfile layout
+    (scene/gaussian_model.py:212-293: x,y,z,nx,ny,nz,f_dc_0..2,
+    f_rest_0..44 CHANNEL-major, opacity, scale_*, rot_* [, which_object]),
+    and save_ply round-trips to the identical attribute set. The fixtures
+    were written by tests/fixtures/make_ref_ply.py's independent writer."""
+    import tempfile
+
+    from wheat3dgs_tpu.io.ply import read_ply
+    from wheat3dgs_tpu.models.serialization import load_ply, save_ply
+
+    path = os.path.join(FIX, "point_cloud_ref.ply")
+    raw = read_ply(path)
+    state, sh_degree = load_ply(path)
+    assert sh_degree == 3
+    n = len(raw["x"])
+    assert int(state.num_alive) == n == 16
+    np.testing.assert_array_equal(
+        np.asarray(state.params.means)[:n, 0], raw["x"])
+    np.testing.assert_array_equal(
+        np.asarray(state.params.opacity_logit)[:n], raw["opacity"])
+    # f_rest is CHANNEL-major on disk (3 blocks of K-1 coeffs); our state is
+    # coeff-major. Band (coeff j, channel c) on disk = f_rest_{c*(K-1)+j}.
+    k1 = 15
+    sr = np.asarray(state.params.sh_rest)[:n].reshape(n, k1, 3)
+    np.testing.assert_array_equal(sr[:, 4, 1], raw[f"f_rest_{k1 + 4}"])
+
+    # Round-trip: save_ply re-emits the identical reference attribute set.
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "rt.ply")
+        save_ply(state, out)
+        back = read_ply(out)
+        for k in raw:
+            np.testing.assert_allclose(back[k][:n], raw[k], atol=0,
+                                       err_msg=k)
+
+    # Seg artifact variant: which_object column -> instance ids.
+    whead = os.path.join(FIX, "wheat_head_ref.ply")
+    raww = read_ply(whead)
+    statew, _ = load_ply(whead)
+    np.testing.assert_array_equal(
+        np.asarray(statew.instance_id)[:12],
+        raww["which_object"].astype(np.int32))
