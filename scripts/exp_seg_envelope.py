@@ -52,7 +52,15 @@ ELEV = tuple(float(x) for x in
 ap = argparse.ArgumentParser()
 ap.add_argument("--skip_train", action="store_true")
 ap.add_argument("--skip_seg", action="store_true")
-ap.add_argument("--iters", type=int, default=7000)
+# 15000, NOT 7000: the reference trains its default 15k schedule and
+# run_3d_seg loads the LATEST checkpoint (run_wheat_3dgs.sh:4-53,
+# arguments/__init__.py:73). Segging the 7k checkpoint is broken by
+# construction — it sits 1000 iters after the 6000 opacity reset, so
+# median head-splat opacity is ~0.18 and any lifted subset renders as a
+# bloated transparent blob (measured self-view IoU 0.56, round-5 probe);
+# by 15k the last reset (9000, densify_until=11000 gates later ones) is
+# 6000 iters back and opacities have re-hardened.
+ap.add_argument("--iters", type=int, default=15000)
 ap.add_argument("--seg_wall", type=float, default=None,
                 help="with --skip_seg: record this find-&-match wall time "
                      "(s) for a run scored from existing artifacts")
