@@ -299,6 +299,54 @@ def test_eval_obj_labels_depth_resolution():
 
 
 @pytest.mark.slow
+def test_run_segmentation_resume(trained_scene, tmp_path):
+    """A run interrupted at a consistent checkpoint and resumed produces the
+    same head ids and 2DSeg maps as an uninterrupted run (loop-state
+    checkpointing, SURVEY §5.3 failure recovery)."""
+    from wheat3dgs_tpu import config as cfg
+    from wheat3dgs_tpu.render.pipeline import (RasterConfig, adapt_config,
+                                               inference_config)
+    from wheat3dgs_tpu.scene import Scene
+    from wheat3dgs_tpu.apps.run_3d_seg_app import build_context
+    from wheat3dgs_tpu.seg.pipeline import load_pt, run_segmentation
+
+    scene_dir, model_dir = trained_scene
+    model = cfg.ModelParams(source_path=scene_dir, model_path=model_dir,
+                            eval=True, resolution=1)
+    scene = Scene(model, load_iteration=-1, shuffle=False)
+    w0, h0 = scene.image_size
+    n_train = len(scene.data.train.metas)
+    config = adapt_config(
+        scene.gaussians, scene.cam_arrays("train", 0), w0, h0,
+        inference_config(RasterConfig(max_per_tile=128)),
+        cams=[scene.cam_arrays("train", i) for i in range(n_train)])
+
+    ctx_a = build_context(scene, config)
+    full = run_segmentation(ctx_a, str(tmp_path / "full"), "r",
+                            iou_threshold=0.4, verbose=False)
+
+    ctx_b = build_context(scene, config)
+    part = run_segmentation(ctx_b, str(tmp_path / "resumed"), "r",
+                            iou_threshold=0.4, verbose=False,
+                            _stop_after_masks=12)
+    assert "interrupted_at" in part
+    ctx_c = build_context(scene, config)
+    res = run_segmentation(ctx_c, str(tmp_path / "resumed"), "r",
+                           iou_threshold=0.4, verbose=False)
+
+    assert res["num_heads"] == full["num_heads"]
+    ids = lambda d: sorted(f[3:-4].split("_")[0] for f in os.listdir(
+        os.path.join(d, "ply")))
+    # Base numeric ids must agree (letter re-saves may differ by replay).
+    assert sorted(set(ids(full["out_dir"]))) == sorted(set(
+        ids(res["out_dir"])))
+    for name in list(res["seg_maps"]):
+        a = load_pt(os.path.join(full["out_dir"], "2DSeg", f"{name}.pt"))
+        b = load_pt(os.path.join(res["out_dir"], "2DSeg", f"{name}.pt"))
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_eval_wheatgs_and_render_360(trained_scene, tmp_path):
     """eval_wheatgs + render_360 field/head run after run_3d_seg artifacts."""
     from wheat3dgs_tpu.apps.run_3d_seg_app import main as seg_main

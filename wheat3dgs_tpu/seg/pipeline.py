@@ -356,10 +356,19 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
                      eval_names: Sequence[str] = (),
                      eval_cams: Optional[tuple] = None,
                      max_refine_rounds: int = 99,
-                     verbose: bool = True) -> Dict:
+                     verbose: bool = True, resume: bool = True,
+                     _stop_after_masks: Optional[int] = None) -> Dict:
     """The full find-&-match loop (reference training(), run_3d_seg.py:182).
 
-    Returns a summary dict; writes the reference artifact tree."""
+    Returns a summary dict; writes the reference artifact tree.
+
+    resume: the loop state (instance labels, processed-mask set, head
+    counter, position in the shuffled mask order) checkpoints alongside the
+    periodic 2DSeg-map saves; a rerun with the same artifact dir picks up
+    from the last checkpoint instead of restarting — the remote-TPU
+    attachment can wedge mid-run (observed twice in one day), and a full
+    envelope run is ~40 min of device work (SURVEY §5.3 failure recovery).
+    """
     log = print if verbose else (lambda *a, **k: None)
     base = os.path.join(out_dir, "wheat-head", exp_name)
     ply_dir = os.path.join(base, "ply")
@@ -370,23 +379,40 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
         os.makedirs(d, exist_ok=True)
     with open(os.path.join(base, "experiment.txt"), "w") as f:
         f.write(f"exp_name {exp_name}\niou_threshold {iou_threshold}\n")
-    results_f = open(os.path.join(base, "results.csv"), "w", newline="")
+    loop_ckpt = os.path.join(base, "loop_state.npz")
+    ck = None
+    if resume and os.path.exists(loop_ckpt):
+        ck = dict(np.load(loop_ckpt, allow_pickle=False))
+        log(f"==== resuming at mask {int(ck['next_exp_id'])} "
+            f"({int(ck['num_wheat_head'])} heads so far) ====")
+    results_f = open(os.path.join(base, "results.csv"),
+                     "a" if ck is not None else "w", newline="")
     writer = csv.writer(results_f)
-    writer.writerow(["id", "init_mask", "num_matches", "num_GS"])
+    if ck is None:
+        writer.writerow(["id", "init_mask", "num_matches", "num_GS"])
 
     state = ctx.state
-    inst = np.asarray(state.instance_id).copy()
+    inst = ck["inst"].copy() if ck is not None else \
+        np.asarray(state.instance_id).copy()
+    if ck is not None:
+        state = dataclasses.replace(state, instance_id=jnp.asarray(inst))
     means_z = np.asarray(state.params.means[:, 2])
     alive = np.asarray(state.alive)
     z_mean = means_z[alive].mean()
     pts_filter = means_z < z_mean            # below-canopy (run_3d_seg.py:207)
     pts_filter |= ~alive
 
-    # 2DSeg maps for train + eval views (run_3d_seg.py:218-235).
+    # 2DSeg maps for train + eval views (run_3d_seg.py:218-235). On resume,
+    # reload the checkpointed maps (saved at the same cadence as the loop
+    # state, so they are consistent with it).
     seg_maps: Dict[str, np.ndarray] = {}
     for name in list(ctx.image_names) + list(eval_names):
-        seg_maps[name] = np.zeros((ctx.height, ctx.width), np.int32)
-        save_pt(seg_maps[name], os.path.join(seg_dir, f"{name}.pt"))
+        pt_path = os.path.join(seg_dir, f"{name}.pt")
+        if ck is not None and os.path.exists(pt_path):
+            seg_maps[name] = load_pt(pt_path).astype(np.int32)
+        else:
+            seg_maps[name] = np.zeros((ctx.height, ctx.width), np.int32)
+            save_pt(seg_maps[name], pt_path)
 
     all_masks = [(ci, p) for ci in range(len(ctx.image_names))
                  for p in ctx.mask_paths[ci]]
@@ -394,9 +420,36 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
     rnd.shuffle(all_masks)
     processed, buffered = set(), set()
     num_wheat_head = 0
+    start_exp_id = 0
+    if ck is not None:
+        processed = set(str(s) for s in ck["processed"])
+        buffered = set(str(s) for s in ck["buffered"])
+        num_wheat_head = int(ck["num_wheat_head"])
+        start_exp_id = int(ck["next_exp_id"])
     mask_name = lambda p: os.path.splitext(os.path.basename(p))[0]
 
+    def save_loop_state(next_exp_id: int) -> None:
+        tmp = loop_ckpt + ".tmp.npz"    # .npz suffix: savez appends otherwise
+        np.savez(tmp, inst=inst, num_wheat_head=num_wheat_head,
+                 next_exp_id=next_exp_id,
+                 processed=np.array(sorted(processed), dtype="U64"),
+                 buffered=np.array(sorted(buffered), dtype="U64"))
+        os.replace(tmp, loop_ckpt)
+
     for exp_id, (cam_i, path) in enumerate(all_masks):
+        if exp_id < start_exp_id:
+            continue
+        if _stop_after_masks is not None and exp_id >= _stop_after_masks:
+            # Test hook: simulate a mid-run kill AFTER a consistent
+            # checkpoint (maps + loop state), as the cadence save would.
+            for vname, m in seg_maps.items():
+                save_pt(m, os.path.join(seg_dir, f"{vname}.pt"))
+            results_f.flush()
+            save_loop_state(exp_id)
+            results_f.close()
+            return {"num_heads": num_wheat_head, "state": state,
+                    "seg_maps": seg_maps, "out_dir": base,
+                    "interrupted_at": exp_id}
         name = mask_name(path)
         if name in processed:
             continue
@@ -506,11 +559,14 @@ def run_segmentation(ctx: SegContext, out_dir: str, exp_name: str,
         if num_wheat_head % 10 == 0:
             for vname, m in seg_maps.items():
                 save_pt(m, os.path.join(seg_dir, f"{vname}.pt"))
+            results_f.flush()
+            save_loop_state(exp_id + 1)
         if exp_id % 5 == 0:
             save_ply(state, os.path.join(base, "gaussians.ply"))
 
     for vname, m in seg_maps.items():
         save_pt(m, os.path.join(seg_dir, f"{vname}.pt"))
+    save_loop_state(len(all_masks))
     save_ply(state, os.path.join(base, "gaussians.ply"))
     results_f.close()
     return {"num_heads": num_wheat_head, "state": state,
