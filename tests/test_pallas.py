@@ -124,6 +124,59 @@ def test_vpu_variant_matches_moment_kernels(monkeypatch):
         assert np.abs(a - b).max() / scale < 5e-3
 
 
+def test_packed_payload_close_to_unpacked(monkeypatch):
+    """W3_PACK_PAYLOAD=1 (bf16-pair-packed entry-sort payload) must stay
+    within bf16 rounding of the unpacked stream: >= 40 dB forward PSNR and
+    2% relative gradient agreement. x/y ride exact f32 either way."""
+    from wheat3dgs_tpu.ops import projection
+    from wheat3dgs_tpu.ops.pallas_raster import rasterize_pallas_fwd
+
+    cam = testing.look_at_camera(width=48, height=32)
+    g = testing.random_gaussians(n=60, seed=7, spread=0.7)
+    gt = jnp.asarray(np.random.default_rng(2).random((3, 32, 48)),
+                     jnp.float32)
+    bg = jnp.array([0.25, 0.5, 0.75], jnp.float32)
+
+    def run(means, scales, opac):
+        s = projection.project_gaussians(
+            means, scales, jnp.asarray(g["quats"]), opac, cam.w2c,
+            cam.full_proj, cam.cam_center, cam.tanfovx, cam.tanfovy,
+            48, 32, colors=jnp.asarray(g["colors"]))
+        out = rasterize_pallas(s, 48, 32, bg, interpret=INTERPRET)
+        loss = (((out.color - gt) ** 2).mean() + out.depth.mean() * 0.1
+                + out.alpha.mean() * 0.05)
+        return loss, out.color
+
+    def run_fwd_only(means, scales, opac):
+        s = projection.project_gaussians(
+            means, scales, jnp.asarray(g["quats"]), opac, cam.w2c,
+            cam.full_proj, cam.cam_center, cam.tanfovx, cam.tanfovy,
+            48, 32, colors=jnp.asarray(g["colors"]))
+        return rasterize_pallas_fwd(s, 48, 32, bg,
+                                    interpret=INTERPRET).color
+
+    args = (jnp.asarray(g["means3d"]), jnp.asarray(g["scales"]),
+            jnp.asarray(g["opacities"]))
+    grad_fn = jax.grad(lambda *a: run(*a)[0], argnums=(0, 1, 2))
+    monkeypatch.setenv("W3_PACK_PAYLOAD", "0")
+    g_ref = grad_fn(*args)
+    c_ref = run(*args)[1]
+    cf_ref = run_fwd_only(*args)
+    monkeypatch.setenv("W3_PACK_PAYLOAD", "1")
+    g_pk = grad_fn(*args)
+    c_pk = run(*args)[1]
+    cf_pk = run_fwd_only(*args)
+
+    for a, b in ((c_ref, c_pk), (cf_ref, cf_pk)):
+        mse = float(((np.asarray(a) - np.asarray(b)) ** 2).mean())
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr >= 40.0, f"packed-vs-unpacked PSNR {psnr:.1f} dB"
+    for a, b in zip(g_ref, g_pk):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 0.02
+
+
 @pytest.mark.slow
 def test_pallas_entry_budget_slicing():
     """A budget >= the real entry count reproduces the full-expansion

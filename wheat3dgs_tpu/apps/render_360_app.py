@@ -42,16 +42,27 @@ def _orbit_frames(state, sh_degree, c2ws, fovx, fovy, width, height, bg,
     cam_arrays = c2ws_to_camera_arrays(c2ws, fovx, fovy)
     frames = []
     labels = jnp.asarray(obj_labels) if obj_labels is not None else None
-    for i in range(len(c2ws)):
+
+    def dispatch(i):
+        """Enqueue frame i's device work WITHOUT blocking (JAX dispatch is
+        async): the next frame renders while the host clips/overlays/encodes
+        the previous one — a software pipeline over the single chip."""
         args = tuple(jnp.asarray(a[i]) for a in cam_arrays)
-        out = render_fwd_jit(state, *args, width, height, sh_degree=sh_degree,
-                         bg=bg, config=config)
-        img = np.clip(np.asarray(out.color), 0, 1)
-        if labels is not None:
-            pred = np.asarray(eval_obj_labels(
-                state, labels, *args, width=width, height=height,
-                config=config))
-            rgb_mask = image_ops.visualize_obj(pred).astype(np.float32) / 255.0
+        out = render_fwd_jit(state, *args, width, height,
+                             sh_degree=sh_degree, bg=bg, config=config)
+        pred = (eval_obj_labels(state, labels, *args, width=width,
+                                height=height, config=config)
+                if labels is not None else None)
+        return out, pred
+
+    pending = dispatch(0) if len(c2ws) else None
+    for i in range(len(c2ws)):
+        nxt = dispatch(i + 1) if i + 1 < len(c2ws) else None
+        out, pred = pending
+        img = np.clip(np.asarray(out.color), 0, 1)    # sync point: frame i
+        if pred is not None:
+            rgb_mask = image_ops.visualize_obj(
+                np.asarray(pred)).astype(np.float32) / 255.0
             img = image_ops.overlay_image(img, rgb_mask)
         frame = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
         frames.append(frame)
@@ -60,6 +71,7 @@ def _orbit_frames(state, sh_degree, c2ws, fovx, fovy, width, height, bg,
 
             Image.fromarray(frame).save(
                 os.path.join(save_dir, f"{i:05d}.png"))
+        pending = nxt
     return frames
 
 

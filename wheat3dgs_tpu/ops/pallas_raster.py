@@ -126,6 +126,57 @@ def _lane_prefix(x: jnp.ndarray, tri: jnp.ndarray, mode: str) -> jnp.ndarray:
     return jnp.dot(x, tri, preferred_element_type=jnp.float32)
 
 
+def _pack_payload_enabled() -> bool:
+    """W3_PACK_PAYLOAD=1 packs the non-coordinate entry-sort payload columns
+    (conic a/b/c, opacity, depth, colors) as bf16 PAIRS — one uint32 sort
+    operand per two columns — mirroring what the backward reduction sort
+    already does to the entry gradients (see comp_bwd). The screen-space
+    center (x, y) stays exact f32 (bf16's 8-bit mantissa is ±4 px at
+    x ~ 1600). Sort cost scales with operand count x bandwidth, so this
+    cuts the phase-1 sort roughly 40% (11 -> 7 operands at c = 3).
+
+    Numerics: the packed columns round to bf16 (~0.4% relative) BEFORE
+    compositing; forward and backward replay from the same rounded stream,
+    so gradients stay self-consistent. Rendered color moves ~1e-3 absolute
+    (tests pin >= 40 dB agreement vs the unpacked path); NOT bit-exact vs
+    the XLA backend, so golden-parity tests run unpacked. Read at trace
+    time (part of the jit cache key via the traced graph)."""
+    return _os.environ.get("W3_PACK_PAYLOAD", "0") != "0"
+
+
+def _pack_cols(mt: jnp.ndarray, ncols: int) -> tuple:
+    """Sort-operand packing of mt's first `ncols` (E,)-rows per
+    _pack_payload_enabled: [x f32, y f32, then bf16 pairs (2,3), (4,5), ...]
+    (an odd tail column pairs with zero). All operands uint32 (integer
+    payload operands get float0 cotangents under custom_vjp)."""
+    ops = [jax.lax.bitcast_convert_type(mt[0], jnp.uint32),
+           jax.lax.bitcast_convert_type(mt[1], jnp.uint32)]
+    for i in range(2, ncols, 2):
+        lo = jax.lax.bitcast_convert_type(
+            mt[i].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        if i + 1 < ncols:
+            hi = jax.lax.bitcast_convert_type(
+                mt[i + 1].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        else:
+            hi = jnp.zeros_like(lo)
+        ops.append(lo | (hi << 16))
+    return tuple(ops)
+
+
+def _unpack_cols(spay: tuple, ncols: int) -> tuple:
+    """Inverse of _pack_cols on the sorted uint32 operands -> ncols f32
+    (E,) rows."""
+    cols = [jax.lax.bitcast_convert_type(spay[0], jnp.float32),
+            jax.lax.bitcast_convert_type(spay[1], jnp.float32)]
+    for w in spay[2:]:
+        cols.append(jax.lax.bitcast_convert_type(
+            (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(
+                jnp.float32))
+        cols.append(jax.lax.bitcast_convert_type(
+            (w >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32))
+    return tuple(cols[:ncols])
+
+
 def _moment_kernels_enabled() -> bool:
     """WHEAT3DGS_MOMENT_KERNELS=1 rebuilds the compositing kernels with the
     MXU moment-form matmuls instead of the direct VPU pixel-polynomial +
@@ -249,9 +300,12 @@ def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
     mt = jax.lax.optimization_barrier(
         premeta_r[owner].T)                           # (10+nv, E) lane-major
 
-    payload = tuple(
-        jax.lax.bitcast_convert_type(mt[f], jnp.uint32)
-        for f in range(6 + nv))
+    if _pack_payload_enabled():
+        payload = _pack_cols(mt, 6 + nv)
+    else:
+        payload = tuple(
+            jax.lax.bitcast_convert_type(mt[f], jnp.uint32)
+            for f in range(6 + nv))
     # Rank r's EXACT slot multiplicity: a marking rank owns every slot up
     # to the next marking rank's offset (cummax ownership), so the last
     # marking rank also owns the allocation tail — a plain count cumsum
@@ -581,8 +635,13 @@ def _sorted_stream(keys, payload, t_total: int, c: int):
         stile, sowner = sorted_[0], sorted_[1]
     # Payload columns travel bitcast as uint32 (integer operands are
     # gradient-transparent under the custom_vjp); recover f32 views here.
-    spay = tuple(jax.lax.bitcast_convert_type(p, jnp.float32)
-                 for p in sorted_[nk:])
+    # A payload tuple shorter than its 7+c columns is bf16-pair-packed
+    # (see _pack_cols); the static tuple length disambiguates exactly.
+    if len(payload) < 7 + c:
+        spay = _unpack_cols(sorted_[nk:], 7 + c)
+    else:
+        spay = tuple(jax.lax.bitcast_convert_type(p, jnp.float32)
+                     for p in sorted_[nk:])
 
     tids = jnp.arange(t_total, dtype=stile.dtype)
     starts = jnp.searchsorted(stile, tids, side="left").astype(jnp.int32)
@@ -1165,8 +1224,11 @@ def _fwd_only_fns(tiles_x: int, t_total: int, tile: int, nv: int,
         sorted_ = jax.lax.sort(keys + payload, num_keys=nk, is_stable=False)
         stile = (sorted_[0] >> _rank_bits(t_total)).astype(jnp.int32) \
             if nk == 1 else sorted_[0]
-        spay = tuple(jax.lax.bitcast_convert_type(x, jnp.float32)
-                     for x in sorted_[nk:])
+        if len(payload) < 6 + nv:   # bf16-pair-packed (see _pack_cols)
+            spay = _unpack_cols(sorted_[nk:], 6 + nv)
+        else:
+            spay = tuple(jax.lax.bitcast_convert_type(x, jnp.float32)
+                         for x in sorted_[nk:])
         tids = jnp.arange(t_total, dtype=stile.dtype)
         starts = jnp.searchsorted(stile, tids, side="left").astype(jnp.int32)
         ends = jnp.searchsorted(stile, tids, side="right").astype(jnp.int32)
@@ -1275,7 +1337,7 @@ def rasterize_pallas_fwd(
 def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
                    two_key: bool, n_rows: int, budget: int,
                    interpret: bool, moment: bool = True,
-                   tri_mode: str = "f32"):
+                   tri_mode: str = "f32", n_pay: int = -1):
     """custom_vjp'd (packed, owner, *keys) -> raw per-tile accumulators
     (T, FEAT+1, P): full feature sums + final transmittance row. The entry
     sort runs inside, so the backward can map entry gradients to packed
@@ -1450,7 +1512,8 @@ def _composite_fns(tiles_x: int, t_total: int, tile: int, c: int,
         # Keys AND payload are integer operands => float0 cotangents: no
         # zero-arithmetic backward graph is built for the entry stream.
         kp_zeros = tuple(np.zeros((e_b,), dtypes.float0)
-                         for _ in range(nk + 7 + c))
+                         for _ in range(nk + (7 + c if n_pay < 0
+                                               else n_pay)))
         return (dpacked, d_order, d_seg) + kp_zeros
 
     comp.defvjp(comp_fwd, comp_bwd)
@@ -1497,7 +1560,8 @@ def rasterize_pallas(
         interpret=interpret)
     comp = _composite_fns(tiles_x, t_total, tile, c,
                           len(keys) == 2, n, int(entry_budget), interpret,
-                          _moment_kernels_enabled(), _tri_mode())
+                          _moment_kernels_enabled(), _tri_mode(),
+                          n_pay=len(payload))
     out = comp(packed, order, seg_end, *keys, *payload)
 
     def assemble(flat, channels):
