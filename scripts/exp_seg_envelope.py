@@ -176,7 +176,11 @@ for f in plys:
 
 report = {
     "n_gt_heads": N_HEADS,
-    "n_discovered": len(plys),
+    # Distinct final head ids: `wh_<id>_<letter>.ply` files are the
+    # reference's re-identification re-saves of an EXISTING id (reset_label
+    # merge, run_3d_seg.py:336), not separate discovered heads.
+    "n_discovered": len(seen_ids),
+    "n_ply_files": len(plys),
     "n_matched_gt": len(claimed),
     "duplicate_id_count": duplicates,
     "metric": "label-transfer over GT points (nearest trained splat)",

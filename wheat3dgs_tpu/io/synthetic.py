@@ -200,7 +200,8 @@ def _solidify_mask(mask: np.ndarray) -> np.ndarray:
 
 def _write_view_masks(out_dir: str, image_name: str, state, inst_cap,
                       n_heads: int, args, width: int, height: int,
-                      config) -> None:
+                      config, min_visibility: float = 0.35,
+                      min_mask_frac: float = 6e-4) -> None:
     """Visible-surface per-head masks + bboxes for one view.
 
     Real SAM masks (reference README.md:36-45) cover only the VISIBLE
@@ -211,7 +212,19 @@ def _write_view_masks(out_dir: str, image_name: str, state, inst_cap,
     discovered heads. So masks come from one depth-resolved instance map
     (same resolution rule as the reference's eval_obj_labels,
     utils/wheatgs_helper.py:245-271): per pixel, the nearest head with
-    alpha > 0.5 wins."""
+    alpha > 0.5 wins.
+
+    DETECTOR-VISIBILITY GATE: the reference's masks are SAM segmentations
+    of YOLO DETECTIONS (README.md:36-45) — a confidence-gated detector does
+    not fire on a heavily-occluded sliver of a head. Emitting a mask for
+    every head with >= 12 visible pixels (as this generator did through
+    round 5's first envelope run) floods the find-&-match queue with
+    fragment masks whose isolated-subset lifts are blobs (measured: masks
+    < ~5k px lift to self-view IoU 0.15-0.3 vs 0.62 for full-visibility
+    masks, 22% of the queue), spawning duplicate head ids. A head's mask
+    is emitted only when its visible (depth-resolved, solidified) area is
+    >= min_visibility of its amodal footprint AND >= min_mask_frac of the
+    image — a stand-in for YOLO's confidence threshold."""
     import jax.numpy as jnp
     from PIL import Image
 
@@ -219,14 +232,17 @@ def _write_view_masks(out_dir: str, image_name: str, state, inst_cap,
 
     obj_labels = jnp.asarray(
         np.arange(n_heads + 1)[:, None] == inst_cap[None, :])
-    pred = np.asarray(eval_obj_labels(
+    pred, amodal = eval_obj_labels(
         state, obj_labels, *args, width=width, height=height,
-        config=config))
+        config=config, with_areas=True)
+    pred, amodal = np.asarray(pred), np.asarray(amodal)
+    min_px = max(12, int(min_mask_frac * width * height))
     boxes = []
     mask_k = 0
     for h in range(1, n_heads + 1):
         mask = _solidify_mask(pred == h)
-        if mask.sum() < 12:
+        vis = int(mask.sum())
+        if vis < min_px or vis < min_visibility * max(int(amodal[h]), 1):
             continue
         ys, xs = np.where(mask)
         boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
@@ -252,6 +268,8 @@ def make_synthetic_colmap_scene(
     cam_radius: float = 2.2,
     cam_elev_deg: float = 40.0,
     head_centers=None,
+    min_visibility: float = 0.35,
+    min_mask_frac: float = 6e-4,
 ) -> dict:
     """Create the dataset on disk; returns a manifest dict.
 
@@ -296,7 +314,9 @@ def make_synthetic_colmap_scene(
         # Per-head masks + bboxes (stand-ins for the YOLO+SAM outputs).
         if with_masks:
             _write_view_masks(out_dir, image_name, state, inst_cap, n_heads,
-                              args, width, height, config)
+                              args, width, height, config,
+                              min_visibility=min_visibility,
+                              min_mask_frac=min_mask_frac)
         else:
             _save_bboxes(os.path.join(out_dir, "bboxes", image_name + ".pt"),
                          np.zeros((0, 4), np.float32))
@@ -333,6 +353,8 @@ def regen_masks(
     cam_radius: float = 2.2,
     cam_elev_deg: float = 40.0,
     head_centers=None,
+    min_visibility: float = 0.35,
+    min_mask_frac: float = 6e-4,
 ) -> None:
     """Rewrite masks/ + bboxes/ of an existing synthetic scene (same
     parameters + seed => identical geometry/cameras) without re-rendering
@@ -352,7 +374,9 @@ def regen_masks(
         image_name = _image_name(plot_id, i, n_cams)[:-4]
         args = _cam_args(qvec, tvec, proj, fovx, fovy)
         _write_view_masks(out_dir, image_name, state, inst_cap, n_heads,
-                          args, width, height, config)
+                          args, width, height, config,
+                          min_visibility=min_visibility,
+                          min_mask_frac=min_mask_frac)
 
 
 def _save_bboxes(path: str, boxes: np.ndarray) -> None:

@@ -23,13 +23,16 @@ from ..render.pipeline import RasterConfig
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "config",
-                                             "head_batch"))
+                                             "head_batch", "with_areas"))
 def eval_obj_labels(state: GaussianState, obj_labels: jnp.ndarray, w2c,
                     full_proj, cam_center, tanfovx, tanfovy, *, width: int,
                     height: int, config: RasterConfig = RasterConfig(),
-                    head_batch: int = 8) -> jnp.ndarray:
+                    head_batch: int = 8, with_areas: bool = False):
     """obj_labels: (L+1, cap) bool membership (row 0 = background, skipped).
-    Returns (H, W) int32 pred mask of head ids."""
+    Returns (H, W) int32 pred mask of head ids; with_areas=True also
+    returns the (L+1,) int32 AMODAL footprint per head (alpha > 0.5 pixel
+    count of the head rendered in isolation, before depth resolution) —
+    the synthetic-mask generator's detector-visibility gate reads it."""
     l1 = obj_labels.shape[0]
 
     def render_head(used_mask):
@@ -72,6 +75,9 @@ def eval_obj_labels(state: GaussianState, obj_labels: jnp.ndarray, w2c,
     (pred_mask, _), _ = jax.lax.scan(
         combine, init,
         (jnp.arange(l1, dtype=jnp.int32), alphas, depths, empties))
+    if with_areas:
+        areas = (alphas > 0.5).sum(axis=(1, 2)).astype(jnp.int32)
+        return pred_mask, areas
     return pred_mask
 
 
