@@ -194,7 +194,8 @@ def _moment_kernels_enabled() -> bool:
 def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
                    height: int, tile: int, budget: int,
                    max_span: int = 1024, interpret: bool = False,
-                   extra_cols: Optional[tuple] = None):
+                   extra_cols: Optional[tuple] = None,
+                   pack_payload: Optional[bool] = None):
     """Exact-entry allocation + precise-cull sort keys (non-differentiable).
 
     Access-pattern discipline (all measured on-chip): TPU sorts and
@@ -300,7 +301,9 @@ def _alloc_entries(packed: jnp.ndarray, splats: Splats2D, width: int,
     mt = jax.lax.optimization_barrier(
         premeta_r[owner].T)                           # (10+nv, E) lane-major
 
-    if _pack_payload_enabled():
+    if pack_payload is None:
+        pack_payload = _pack_payload_enabled()
+    if pack_payload:
         payload = _pack_cols(mt, 6 + nv)
     else:
         payload = tuple(
@@ -1273,6 +1276,7 @@ def rasterize_pallas_fwd(
     interpret: bool = False,
     with_color: bool = True,
     with_depth: bool = True,
+    pack_payload: Optional[bool] = None,
 ) -> RasterOut:
     """NON-differentiable forward-only Pallas rasterization.
 
@@ -1304,7 +1308,7 @@ def rasterize_pallas_fwd(
     keys, payload, _, _, total, alive = _alloc_entries(
         packed, jax.lax.stop_gradient(splats), width, height, tile,
         int(entry_budget), max_span, interpret=interpret,
-        extra_cols=extra_cols)
+        extra_cols=extra_cols, pack_payload=pack_payload)
     run = _fwd_only_fns(tiles_x, t_total, tile, nv, len(keys) == 2,
                         interpret, _moment_kernels_enabled(), _tri_mode())
     raw = run(*keys, *payload)                        # (T, 1+nv, P)
@@ -1530,6 +1534,7 @@ def rasterize_pallas(
     entry_budget: int = 0,
     max_span: int = 1024,
     interpret: bool = False,
+    pack_payload: Optional[bool] = None,
 ) -> RasterOut:
     """Differentiable Pallas rasterization (custom_vjp backward kernel).
 
@@ -1557,7 +1562,7 @@ def rasterize_pallas(
     keys, payload, order, seg_end, total, alive = _alloc_entries(
         jax.lax.stop_gradient(packed), jax.lax.stop_gradient(splats),
         width, height, tile, int(entry_budget), max_span,
-        interpret=interpret)
+        interpret=interpret, pack_payload=pack_payload)
     comp = _composite_fns(tiles_x, t_total, tile, c,
                           len(keys) == 2, n, int(entry_budget), interpret,
                           _moment_kernels_enabled(), _tri_mode(),

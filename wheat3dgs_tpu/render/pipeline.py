@@ -44,6 +44,13 @@ class RasterConfig:
     # renders report entries_total so overflow (demand > budget => cropped
     # entries) is detectable instead of silent.
     entry_budget: int = 0
+    # Pallas backend: bf16-pair-pack the non-coordinate entry-sort payload
+    # columns (conics/opacity/depth/colors — x/y stay exact f32), cutting
+    # the phase-1 sort ~40%. ~0.4% bf16 rounding on the packed columns
+    # (>= 40 dB forward agreement and 2% gradient agreement vs unpacked,
+    # pinned by tests/test_pallas.py::test_packed_payload_close_to_unpacked).
+    # None = the W3_PACK_PAYLOAD env default (off).
+    pack_payload: Optional[bool] = None
 
 
 def inference_config(config: RasterConfig = RasterConfig()) -> RasterConfig:
@@ -103,6 +110,7 @@ def render(
         out = rasterize_pallas(
             splats, width, height, bg, tile=32,
             entry_budget=config.entry_budget,
+            pack_payload=config.pack_payload,
             # Interpreter fallback keeps the Pallas backend testable on the
             # CPU suite (tiny scenes only — it is orders slower than XLA).
             interpret=jax.default_backend() == "cpu")
@@ -163,6 +171,7 @@ def render_fwd(
         out = rasterize_pallas_fwd(
             splats, width, height, bg, tile=32,
             entry_budget=config.entry_budget,
+            pack_payload=config.pack_payload,
             interpret=jax.default_backend() == "cpu",
             with_color=with_color, with_depth=with_depth)
     else:
