@@ -181,6 +181,11 @@ report = {
     # merge, run_3d_seg.py:336), not separate discovered heads.
     "n_discovered": len(seen_ids),
     "n_ply_files": len(plys),
+    # Counting accuracy — the paper's headline application metric
+    # (README.md:9-14: counting via instance extraction): relative error of
+    # the discovered-head count against the known ground truth.
+    "counting_accuracy": round(
+        1.0 - abs(len(seen_ids) - N_HEADS) / N_HEADS, 4),
     "n_matched_gt": len(claimed),
     "duplicate_id_count": duplicates,
     "metric": "label-transfer over GT points (nearest trained splat)",
