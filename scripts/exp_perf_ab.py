@@ -92,7 +92,11 @@ print("ABRESULT " + __import__("json").dumps(
 
 def main():
     results = []
-    for tri, pack in itertools.product(("f32", "bf16"), ("0", "1")):
+    # W3_AB_COMBOS="f32:1,bf16:1" restricts the sweep (default: full grid).
+    sel = os.environ.get("W3_AB_COMBOS")
+    combos = ([tuple(c.split(":")) for c in sel.split(",")] if sel
+              else list(itertools.product(("f32", "bf16"), ("0", "1"))))
+    for tri, pack in combos:
         env = dict(os.environ, W3_TRI_MODE=tri, W3_PACK_PAYLOAD=pack)
         print(f"=== tri={tri} pack={pack} ===", flush=True)
         proc = subprocess.run(
