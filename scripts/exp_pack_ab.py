@@ -75,11 +75,15 @@ for pack in (False, True):
             n_steps=args.win, sh_degree=SH, width=W, height=H, opt=opt,
             config=cfg)
 
-    st2, m2 = window(state)
+    # train_step_scan DONATES its state arg — thread the result forward
+    # (bench.py does the same); re-passing a donated buffer is an
+    # INVALID_ARGUMENT on the axon backend. Work on a copy so the shared
+    # burn-in state survives for the other combo + the parity render.
+    st2, m2 = window(jax.tree.map(jnp.copy, state))
     jax.block_until_ready(m2["loss"])            # compile + warm
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        st2, m2 = window(state)
+        st2, m2 = window(st2)
     jax.block_until_ready(m2["loss"])
     train_ms = (time.perf_counter() - t0) / args.reps / args.win * 1e3
 

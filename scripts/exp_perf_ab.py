@@ -62,12 +62,15 @@ def window(st):
         st, w2c_s, fp_s, cc_s, jnp.asarray(tfx_s), jnp.asarray(tfy_s),
         gt_images, vi_rot, jnp.zeros(3, jnp.float32), jnp.int32(1000),
         n_steps=WIN, sh_degree=SH, width=W, height=H, opt=opt, config=cfg)
-st2, m2 = window(state)
+# train_step_scan DONATES its state arg — thread the scanned state forward
+# (bench.py does the same); re-passing a donated buffer surfaces as
+# INVALID_ARGUMENT on the axon backend.
+st2, m2 = window(jax.tree.map(jnp.copy, state))
 jax.block_until_ready(m2["loss"])
 t0 = time.perf_counter()
 REPS = 5
 for _ in range(REPS):
-    st2, m2 = window(state)
+    st2, m2 = window(st2)
 jax.block_until_ready(m2["loss"])
 train_ms = (time.perf_counter() - t0) / REPS / WIN * 1e3
 

@@ -54,9 +54,17 @@ class RasterConfig:
 
 
 def inference_config(config: RasterConfig = RasterConfig()) -> RasterConfig:
-    """Prefer the Pallas forward kernel when a TPU is attached."""
+    """Prefer the Pallas forward kernel when a TPU is attached, with the
+    bf16-pair-packed entry-sort payload on by default: measured on-chip
+    (scripts/exp_pack_ab.py, v5e, 102k splats @1600x1200) packed wins
+    44.4 vs 45.5 ms/step and 56.7 vs 53.3 FPS at 69.9 dB forward parity.
+    An explicit config.pack_payload (or W3_PACK_PAYLOAD via None in a raw
+    RasterConfig) still overrides."""
     backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-    return dataclasses.replace(config, backend=backend)
+    pack = config.pack_payload
+    if pack is None and backend == "pallas":
+        pack = True
+    return dataclasses.replace(config, backend=backend, pack_payload=pack)
 
 
 class RenderOut(NamedTuple):
